@@ -1,0 +1,86 @@
+"""Typed configuration for the Navier–Stokes engine.
+
+The reference hardcodes physics/numerics constants in each `main()`
+(`src/solve_newton.c:929-940`, `src/solve_newton-petsc.c:663-672`) and exposes
+the rest through the PETSc options database.  Here everything lives in one
+dataclass tree so a run is fully described by a single `NSConfig`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Krylov solver settings (the `KSPSetTolerances`/`KSPGMRESSetRestart` analog).
+
+    Mirrors the reference's Newton KSP: GMRES(30) with rtol 1e-10 / atol 1e-12
+    (`src/solve_newton.c:1154-1163`) and the Stokes KSP: GMRES with
+    rtol/atol 1e-12 (`src/solve_newton.c:1066-1076`).
+    """
+
+    method: str = "gmres"           # "gmres" | "cg"
+    restart: int = 30               # GMRES restart length m
+    rtol: float = 1e-10
+    atol: float = 1e-12
+    maxiter: int = 2000
+    preconditioner: str = "block_jacobi"  # "block_jacobi" | "ilu0" | "none"
+
+
+@dataclasses.dataclass(frozen=True)
+class NewtonConfig:
+    """Newton iteration controls (`src/solve_newton.c:936-940`)."""
+
+    rtol: float = 1e-6
+    atol: float = 1e-8
+    stol: float = 1e-10             # stagnation threshold on |du|
+    max_iter: int = 30
+
+
+@dataclasses.dataclass(frozen=True)
+class NSConfig:
+    """Full problem description.
+
+    Defaults follow the golden-corpus run (`src/solve_newton-petsc.c:663-667`):
+    dt = 1e-3, T = 1 (1000 steps), Re = 300, delta = 0.05.
+    """
+
+    dt: float = 1e-3
+    t_final: float = 1.0
+    reynolds: float = 300.0
+    delta: float = 0.05             # Brezzi–Pitkaranta stabilization parameter
+    stokes_reynolds: float = 0.01   # Re used for the Stokes initializer
+                                    # (`src/solve_newton.c:1038`)
+
+    newton: NewtonConfig = dataclasses.field(default_factory=NewtonConfig)
+    krylov: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    stokes_krylov: SolverConfig = dataclasses.field(
+        default_factory=lambda: SolverConfig(rtol=1e-12, atol=1e-12, maxiter=1000)
+    )
+
+    # Numerics
+    dtype: str = "float32"          # compute dtype on-device
+    assembly_dtype: str = "float64" # host-side element precompute dtype
+
+    # Sparse layout
+    ell_slots: Optional[int] = None  # max 4x4 blocks per block-row; None = derive
+
+    # Output
+    save_every: int = 0             # 0 = never; N = every N steps
+    output_dir: str = "res"
+
+    @property
+    def n_steps(self) -> int:
+        return int(round(self.t_final / self.dt))
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def assembly_jnp_dtype(self):
+        return jnp.dtype(self.assembly_dtype)

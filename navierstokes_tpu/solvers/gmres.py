@@ -1,0 +1,174 @@
+"""Restarted GMRES(m) as a jitted `lax.while_loop` — the KSPGMRES equivalent.
+
+Semantics match the reference's solver configuration
+(`src/solve_newton.c:1154-1163`): left preconditioning, modified Gram–Schmidt
+Arnoldi, Givens-rotation least squares, convergence when the preconditioned
+residual norm drops below max(rtol * ||r0||_pre, atol) (PETSc
+`KSPConvergedDefault`), restart length m, total-iteration cap.
+
+Everything is static-shaped: the Krylov basis is a fixed (m+1, n) buffer and
+the Hessenberg/Givens state fixed (m+1, m) — no recompilation across calls.
+"""
+
+from __future__ import annotations
+
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class GMRESResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray         # total inner iterations performed
+    resnorm: jnp.ndarray       # final preconditioned residual norm
+    converged: jnp.ndarray     # bool
+
+
+def _identity(x):
+    return x
+
+
+def gmres(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    precond: Optional[Callable] = None,
+    restart: int = 30,
+    rtol: float = 1e-10,
+    atol: float = 1e-12,
+    maxiter: int = 2000,
+) -> GMRESResult:
+    """NOTE: deliberately not jitted here — `matvec`/`precond` typically close
+    over traced operator values, so callers jit the enclosing step function
+    (e.g. the whole Newton iteration) and this trace inlines into it."""
+    n = b.shape[0]
+    dtype = b.dtype
+    m = restart
+    M = precond or _identity
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+
+    def pre_residual(x):
+        return M(b - matvec(x))
+
+    r0 = pre_residual(x0)
+    beta0 = jnp.linalg.norm(r0)
+    tol = jnp.maximum(rtol * beta0, atol)
+
+    # Outer state: (x, total_iters, resnorm, converged, stalled)
+    def outer_cond(state):
+        _, iters, resnorm, converged, stalled = state
+        return (~converged) & (~stalled) & (iters < maxiter) & (resnorm > 0.0)
+
+    def outer_body(state):
+        x, iters, _, _, _ = state
+        r = pre_residual(x)
+        beta = jnp.linalg.norm(r)
+
+        V = jnp.zeros((m + 1, n), dtype=dtype)
+        V = V.at[0].set(r / jnp.where(beta > 0, beta, 1.0))
+        R = jnp.zeros((m, m), dtype=dtype)         # triangularized Hessenberg
+        cs = jnp.zeros(m, dtype=dtype)
+        sn = jnp.zeros(m, dtype=dtype)
+        g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
+
+        # Inner state: (V, R, cs, sn, g, k, done)
+        def inner_cond(istate):
+            _, _, _, _, _, k, done = istate
+            return (k < m) & (~done)
+
+        def inner_body(istate):
+            V, R, cs, sn, g, k, _ = istate
+            w = M(matvec(V[k]))
+
+            # Modified Gram-Schmidt against v_0..v_k
+            def mgs(i, carry):
+                w, h = carry
+                proj = jnp.where(i <= k, jnp.dot(V[i], w), 0.0)
+                return w - proj * V[i], h.at[i].set(proj)
+
+            w, h = jax.lax.fori_loop(
+                0, m, mgs, (w, jnp.zeros(m + 1, dtype=dtype))
+            )
+            hk1 = jnp.linalg.norm(w)
+            h = h.at[m].set(0.0)
+            V_next = V.at[k + 1].set(w / jnp.where(hk1 > 0, hk1, 1.0))
+
+            # Apply accumulated Givens rotations to column h[0..k], h[k+1]=hk1
+            def rot(i, hcol):
+                hi = jnp.where(i < k, cs[i] * hcol[i] + sn[i] * hcol[i + 1], hcol[i])
+                hi1 = jnp.where(
+                    i < k, -sn[i] * hcol[i] + cs[i] * hcol[i + 1], hcol[i + 1]
+                )
+                return hcol.at[i].set(hi).at[i + 1].set(hi1)
+
+            hcol = h.at[jnp.minimum(k + 1, m)].set(hk1)
+            hcol = jax.lax.fori_loop(0, m, rot, hcol)
+
+            # New Givens zeroing hcol[k+1]
+            a_ = hcol[k]
+            b_ = hcol[jnp.minimum(k + 1, m)]
+            denom = jnp.sqrt(a_ * a_ + b_ * b_)
+            # Hard breakdown: the new Hessenberg column vanished entirely
+            # (singular/defective operator). Discard the column and stop —
+            # advancing would make R singular and poison x with NaNs.
+            breakdown = denom <= jnp.asarray(1e-300, dtype)
+            c_new = jnp.where(denom > 0, a_ / denom, 1.0)
+            s_new = jnp.where(denom > 0, b_ / denom, 0.0)
+            cs2 = cs.at[k].set(c_new)
+            sn2 = sn.at[k].set(s_new)
+            hcol = hcol.at[k].set(denom).at[jnp.minimum(k + 1, m)].set(0.0)
+            R2 = R.at[:, k].set(hcol[:m])
+
+            gk = g[k]
+            g2 = g.at[k].set(c_new * gk).at[k + 1].set(-s_new * gk)
+            res_est = jnp.abs(g2[k + 1])
+            # Happy breakdown (hk1 == 0 but column useful) still advances once.
+            done = (res_est <= tol) | (hk1 <= 1e-300) | breakdown
+            keep = ~breakdown
+            return (
+                jnp.where(keep, V_next, V),
+                jnp.where(keep, R2, R),
+                jnp.where(keep, cs2, cs),
+                jnp.where(keep, sn2, sn),
+                jnp.where(keep, g2, g),
+                jnp.where(keep, k + 1, k),
+                done,
+            )
+
+        V, R, cs, sn, g, k_end, _ = jax.lax.while_loop(
+            inner_cond,
+            inner_body,
+            (V, R, cs, sn, g, jnp.int32(0), beta <= tol),
+        )
+
+        # Solve R[0:k_end, 0:k_end] y = g[0:k_end] on the padded system:
+        # pad unused diagonal with 1 and unused rhs with 0.
+        col_ids = jnp.arange(m)
+        active = col_ids < k_end
+        Rp = jnp.where(
+            active[None, :] & active[:, None],
+            R,
+            jnp.eye(m, dtype=dtype),
+        )
+        gp = jnp.where(active, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Rp, gp, lower=False)
+        dx = V[:m].T @ y
+        x_new = x + dx
+
+        resnorm = jnp.abs(g[k_end])
+        return (
+            x_new,
+            iters + k_end,
+            resnorm,
+            resnorm <= tol,
+            k_end == 0,  # stalled: inner loop made no progress (breakdown)
+        )
+
+    init = (x0, jnp.int32(0), beta0, beta0 <= tol, jnp.asarray(False))
+    x, iters, resnorm, converged, _ = jax.lax.while_loop(
+        outer_cond, outer_body, init
+    )
+    return GMRESResult(x=x, iters=iters, resnorm=resnorm, converged=converged)

@@ -1,0 +1,147 @@
+"""Preconditioners.
+
+The reference preconditions with ILU(k) + hand-vectorized block triangular
+solves (`src/solve_newton.c:1159-1162`, `src/kernels/baij4_solve*.c`).
+Sequential triangular solves are hostile to TPUs (SURVEY.md §7 "ILU parity"),
+so the TPU-first default is block-Jacobi built from batched exact 4x4 block
+inverses — every application is one batched 4x4 matvec on the VPU — optionally
+wrapped in a truncated Neumann series to recover some of ILU's strength:
+
+  M^{-1} = sum_{i<=order} (I - D^{-1} A)^i D^{-1}     (order 0 = plain Jacobi)
+
+A block ILU(0) with sequential solves is kept as a host-side (numpy)
+correctness oracle; solver-level parity with ILU is validated at the
+"same converged solution, different iteration count" level.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from navierstokes_tpu.ops.block import block4_apply, block4_inverse
+from navierstokes_tpu.sparse.bcsr import BCSR4
+
+
+@dataclasses.dataclass
+class BlockJacobiPreconditioner:
+    """M^{-1} = blockdiag(A_ii)^{-1}, optionally Neumann-boosted."""
+
+    inv_diag: jnp.ndarray                 # (nb, 4, 4)
+    matvec: Optional[Callable] = None     # required if order > 0
+    order: int = 0
+
+    @classmethod
+    def from_bcsr(cls, m: BCSR4, diag_slots, matvec=None, order=0):
+        diag = m.values[diag_slots]
+        return cls(
+            inv_diag=block4_inverse(diag, pivot_eps=1e-300, shift=1e-8),
+            matvec=matvec,
+            order=order,
+        )
+
+    def __call__(self, r):
+        z = block4_apply(self.inv_diag, r)
+        acc = z
+        for _ in range(self.order):
+            # z_{i+1} = z_i + D^{-1}(r - A z_i): Neumann series refinement
+            acc = acc + block4_apply(self.inv_diag, r - self.matvec(acc))
+        return acc
+
+
+class ILU0Preconditioner:
+    """Block ILU(0) on the BCSR4 pattern — host-side numpy correctness oracle.
+
+    Factorization: standard IKJ block algorithm restricted to the pattern;
+    diagonal blocks stored inverted (like PETSc's factored BAIJ).  Solves are
+    sequential forward/backward block substitutions — intentionally NOT a
+    device kernel (see module docstring).
+    """
+
+    def __init__(self, m: BCSR4):
+        self.indptr = m.indptr
+        self.indices = m.indices
+        nb = m.nb
+        vals = np.array(np.asarray(m.values), dtype=np.float64)
+        indptr, indices = self.indptr, self.indices
+
+        # slot lookup per row: dict col -> slot
+        row_slots = [
+            {int(indices[s]): s for s in range(indptr[r], indptr[r + 1])}
+            for r in range(nb)
+        ]
+        inv = np.linalg.inv
+        for i in range(nb):
+            si, ei = indptr[i], indptr[i + 1]
+            for s in range(si, ei):
+                k = int(indices[s])
+                if k >= i:
+                    continue
+                dk = row_slots[k][k]
+                # L_ik = A_ik @ inv(U_kk)  (U_kk stored inverted already)
+                vals[s] = vals[s] @ vals[dk]
+                a_ik = vals[s]
+                for s2 in range(row_slots[k][k] + 1, indptr[k + 1]):
+                    j = int(indices[s2])
+                    sij = row_slots[i].get(j)
+                    if sij is not None:
+                        vals[sij] = vals[sij] - a_ik @ vals[s2]
+            di = row_slots[i][i]
+            vals[di] = inv(vals[di])
+
+        self.vals = vals
+        self.row_slots = row_slots
+        self.nb = nb
+
+    def solve_host(self, r: np.ndarray) -> np.ndarray:
+        """x = (LU)^{-1} r with unit-diagonal L, inverted-diagonal U."""
+        nb = self.nb
+        r4 = np.asarray(r, dtype=np.float64).reshape(nb, 4)
+        y = np.zeros_like(r4)
+        indptr, indices, vals = self.indptr, self.indices, self.vals
+        for i in range(nb):
+            acc = r4[i].copy()
+            for s in range(indptr[i], indptr[i + 1]):
+                j = int(indices[s])
+                if j < i:
+                    acc -= vals[s] @ y[j]
+            y[i] = acc
+        x = np.zeros_like(r4)
+        for i in range(nb - 1, -1, -1):
+            acc = y[i].copy()
+            di = None
+            for s in range(indptr[i], indptr[i + 1]):
+                j = int(indices[s])
+                if j > i:
+                    acc -= vals[s] @ x[j]
+                elif j == i:
+                    di = s
+            x[i] = vals[di] @ acc
+        return x.reshape(-1)
+
+    def __call__(self, r):
+        # Works inside jitted/while_loop'd solvers via a host callback (CPU
+        # oracle path only — never the TPU performance path).
+        import jax
+
+        def cb(rr):
+            return self.solve_host(np.asarray(rr)).astype(rr.dtype)
+
+        return jax.pure_callback(
+            cb, jax.ShapeDtypeStruct(r.shape, r.dtype), r
+        )
+
+
+def make_preconditioner(kind: str, m: BCSR4, diag_slots, matvec=None, order=0):
+    if kind == "none" or kind is None:
+        return None
+    if kind == "block_jacobi":
+        return BlockJacobiPreconditioner.from_bcsr(
+            m, diag_slots, matvec=matvec, order=order
+        )
+    if kind == "ilu0":
+        return ILU0Preconditioner(m)
+    raise ValueError(f"unknown preconditioner {kind!r}")
