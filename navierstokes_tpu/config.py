@@ -29,6 +29,7 @@ class SolverConfig:
     atol: float = 1e-12
     maxiter: int = 2000
     preconditioner: str = "block_jacobi"  # "block_jacobi" | "ilu0" | "none"
+    neumann_order: int = 2      # Neumann-series boost of block-Jacobi (0 = plain)
 
 
 @dataclasses.dataclass(frozen=True)

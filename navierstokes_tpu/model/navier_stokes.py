@@ -1,0 +1,294 @@
+"""The transient Navier–Stokes engine — the reference's `solve_newton` stack
+(`src/solve_newton.c:925-1323`) rebuilt TPU-first.
+
+Pipeline per run:
+  1. Stokes initialization: assemble the steady Stokes operator (A0 | B^T /
+     -B | D, no mass/convection — `assemble_stokes_matrix` `:617-662`) with
+     the small Stokes Reynolds number, apply Dirichlet rows, GMRES-solve for
+     the initial state (`:1037-1103`).
+  2. Backward-Euler time loop with a Newton inner loop (`:1203-1297`):
+     per iteration insert BC values, evaluate the residual, test convergence
+     ((|F| < rtol*|F0| or |F| < atol) and |du| < atol, `:1231-1232`), then
+     rebuild J = J_linear + nonlinear(u) (`:1245-1246`), zero BC rows with
+     unit diagonal, and GMRES-solve J du = -F.
+
+TPU design choices (not translations):
+  - the whole Newton loop is ONE jitted `lax.while_loop` — zero host sync
+    per iteration; per-iteration norms are recorded into fixed-size arrays,
+  - the operator lives as block-ELL values regenerated each iteration by a
+    static scatter (pattern fixed, values = segment_sum of element blocks),
+  - preconditioning is batched-inverse block-Jacobi (+ optional Neumann
+    boost) instead of sequential ILU triangular solves (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navierstokes_tpu.config import NSConfig
+from navierstokes_tpu.fem.assembly import (
+    LINEAR_TERMS,
+    NONLINEAR_TERMS,
+    STOKES_TERMS,
+    Discretization,
+    assemble_bcsr_values,
+    assemble_residual,
+    build_discretization,
+    local_fields,
+)
+from navierstokes_tpu.fem.dirichlet import zero_rows_bcsr
+from navierstokes_tpu.io.dat import write_petsc_vec
+from navierstokes_tpu.io.vtu import write_pvd, write_vtu
+from navierstokes_tpu.mesh.core import Mesh
+from navierstokes_tpu.ops.block import block4_apply, block4_inverse
+from navierstokes_tpu.ops.spmv import spmv_bell
+from navierstokes_tpu.sparse.bell import bell_values_from_bcsr_values
+from navierstokes_tpu.solvers.gmres import gmres
+
+
+class NewtonStats(NamedTuple):
+    iters: jnp.ndarray          # Newton iterations performed
+    converged: jnp.ndarray      # bool
+    res_hist: jnp.ndarray       # (max_newton,) residual norms (nan-padded)
+    du_hist: jnp.ndarray        # (max_newton,) update norms
+    lin_iters: jnp.ndarray      # total GMRES iterations across the step
+
+
+class NavierStokesSolver:
+    """Flagship model: load mesh -> stokes init -> step -> dump, like the
+    reference CLI, but as a library object with jitted compute."""
+
+    def __init__(self, mesh: Mesh, cfg: Optional[NSConfig] = None):
+        self.cfg = cfg or NSConfig()
+        dtype = self.cfg.jnp_dtype
+        self.disc: Discretization = build_discretization(
+            mesh, dtype=dtype, ell_slots=self.cfg.ell_slots
+        )
+        self.dtype = dtype
+
+        # J_linear values precomputed once (`preassemble_linear_jacobian`,
+        # `src/solve_newton.c:1116-1146`), before BC row zeroing.
+        dummy_UL = jnp.zeros((self.disc.ne, 3, 4), dtype=dtype)
+        self._jlin_values = assemble_bcsr_values(
+            self.disc.tets, self.disc.vol, self.disc.grad, self.disc.h,
+            dummy_UL, self.cfg.dt, self.cfg.reynolds, self.cfg.delta,
+            self.disc.slot_of_pair, terms=LINEAR_TERMS, nnzb=self.disc.nnzb,
+        )
+
+        self._stokes_jit = jax.jit(self._stokes_solve)
+        self._step_jit = jax.jit(self._newton_step)
+
+    # -- operator plumbing --------------------------------------------------
+
+    def _ell_values(self, bcsr_values):
+        return bell_values_from_bcsr_values(
+            bcsr_values, self.disc.slot_of_bcsr, self.disc.mesh.nv,
+            self.disc.ell_slots,
+        )
+
+    def _matvec_from(self, ell_values):
+        idx = self.disc.ell_indices_dev
+
+        def matvec(x):
+            return spmv_bell(idx, ell_values, x)
+
+        return matvec
+
+    def _preconditioner_from(self, bcsr_values, matvec):
+        inv_diag = block4_inverse(
+            bcsr_values[self.disc.diag_slots], pivot_eps=1e-300, shift=1e-8
+        )
+        order = self.cfg.krylov.neumann_order
+
+        def pc(r):
+            z = block4_apply(inv_diag, r)
+            for _ in range(order):
+                z = z + block4_apply(inv_diag, r - matvec(z))
+            return z
+
+        return pc
+
+    def _apply_bc_rows(self, values):
+        return zero_rows_bcsr(
+            values, self.disc.row_ids, jnp.asarray(self.disc.indices),
+            self.disc.diag_slots, self.disc.bc.row_bc,
+        )
+
+    # -- Stokes initialization ----------------------------------------------
+
+    def _stokes_solve(self):
+        d, cfg = self.disc, self.cfg
+        dummy_UL = jnp.zeros((d.ne, 3, 4), dtype=self.dtype)
+        values = assemble_bcsr_values(
+            d.tets, d.vol, d.grad, d.h, dummy_UL, cfg.dt,
+            cfg.stokes_reynolds, cfg.delta, d.slot_of_pair,
+            terms=STOKES_TERMS, nnzb=d.nnzb,
+        )
+        values = self._apply_bc_rows(values)
+        ell_values = self._ell_values(values)
+        matvec = self._matvec_from(ell_values)
+        pc = self._preconditioner_from(values, matvec)
+        rhs = d.bc.value.astype(self.dtype)
+        sk = cfg.stokes_krylov
+        res = gmres(
+            matvec, rhs, precond=pc, restart=sk.restart,
+            rtol=sk.rtol, atol=sk.atol, maxiter=sk.maxiter,
+        )
+        return res.x, res.iters, res.converged
+
+    def stokes_init(self):
+        """Initial condition from the steady Stokes solve (`:1094-1095`)."""
+        u0, iters, conv = self._stokes_jit()
+        return u0
+
+    # -- Newton time step ---------------------------------------------------
+
+    def _newton_step(self, u_init, u_old, delta_u_init):
+        d, cfg = self.disc, self.cfg
+        nw = cfg.newton
+        kv = cfg.krylov
+        max_newton = nw.max_iter
+        dtype = self.dtype
+        jlin = self._jlin_values
+
+        def residual(u):
+            return assemble_residual(
+                d.tets, d.vol, d.grad, d.h, u, u_old,
+                cfg.dt, cfg.reynolds, cfg.delta, ndof=d.ndof,
+            )
+
+        def body(carry):
+            (u, delta_u, it, res0, res_h, du_h, lin_total, _, _) = carry
+
+            u = d.bc.apply_to_vector(u)
+            F = d.bc.zero_rows_vector(residual(u))
+            res_norm = jnp.linalg.norm(F)
+            res0 = jnp.where(it == 0, res_norm, res0)
+            du_norm = jnp.linalg.norm(delta_u)
+            res_h = res_h.at[it].set(res_norm)
+            du_h = du_h.at[it].set(du_norm)
+
+            converged = (
+                (res_norm < nw.rtol * res0) | (res_norm < nw.atol)
+            ) & (du_norm < nw.atol)
+            stagnated = (it > 5) & (du_norm < nw.stol)
+
+            def do_solve(operands):
+                u, delta_u, lin_total = operands
+                UL, _ = local_fields(d.tets, u)
+                jnl = assemble_bcsr_values(
+                    d.tets, d.vol, d.grad, d.h, UL, cfg.dt, cfg.reynolds,
+                    cfg.delta, d.slot_of_pair,
+                    terms=NONLINEAR_TERMS, nnzb=d.nnzb,
+                )
+                values = self._apply_bc_rows(jlin + jnl)
+                ell_values = self._ell_values(values)
+                matvec = self._matvec_from(ell_values)
+                pc = self._preconditioner_from(values, matvec)
+                sol = gmres(
+                    matvec, -F, precond=pc, restart=kv.restart,
+                    rtol=kv.rtol, atol=kv.atol, maxiter=kv.maxiter,
+                )
+                return u + sol.x, sol.x, lin_total + sol.iters
+
+            def skip(operands):
+                return operands
+
+            u, delta_u, lin_total = jax.lax.cond(
+                converged | stagnated, skip, do_solve, (u, delta_u, lin_total)
+            )
+            return (
+                u, delta_u, it + 1, res0, res_h, du_h, lin_total,
+                converged, stagnated,
+            )
+
+        def cond(carry):
+            (_, _, it, _, _, _, _, converged, stagnated) = carry
+            return (it < max_newton) & (~converged) & (~stagnated)
+
+        nanarr = jnp.full(max_newton, jnp.nan, dtype=dtype)
+        init = (
+            u_init.astype(dtype), delta_u_init.astype(dtype), jnp.int32(0),
+            jnp.zeros((), dtype), nanarr, nanarr, jnp.int32(0),
+            jnp.asarray(False), jnp.asarray(False),
+        )
+        (u, delta_u, it, _, res_h, du_h, lin_total, converged, _) = (
+            jax.lax.while_loop(cond, body, init)
+        )
+        stats = NewtonStats(
+            iters=it, converged=converged, res_hist=res_h, du_hist=du_h,
+            lin_iters=lin_total,
+        )
+        return u, delta_u, stats
+
+    def step(self, u, u_old, delta_u):
+        """One backward-Euler step. Returns (u_new, delta_u, stats)."""
+        return self._step_jit(u, u_old, delta_u)
+
+    # -- Driver -------------------------------------------------------------
+
+    def run(
+        self,
+        n_steps: Optional[int] = None,
+        *,
+        u0=None,
+        save_dir: Optional[str] = None,
+        save_every: Optional[int] = None,
+        write_vtu_files: bool = False,
+        monitor: bool = True,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 0,
+    ):
+        """Full transient run mirroring the reference CLI semantics
+        (`-save` => per-step `res/solution_stepNNNN.dat`)."""
+        cfg = self.cfg
+        n_steps = cfg.n_steps if n_steps is None else n_steps
+        save_every = cfg.save_every if save_every is None else save_every
+
+        if u0 is None:
+            u0 = self.stokes_init()
+        u = jnp.asarray(u0, dtype=self.dtype)
+        u_old = u
+        delta_u = jnp.zeros_like(u)
+
+        pvd_entries = []
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+
+        for step in range(1, n_steps + 1):
+            u, delta_u, stats = self.step(u, u_old, delta_u)
+            if monitor:
+                it = int(stats.iters)
+                res_h = np.asarray(stats.res_hist)
+                print(
+                    f"=== Time step {step} (t={step * cfg.dt:.3f}) === "
+                    f"newton={it} lin={int(stats.lin_iters)} "
+                    f"|F|={res_h[max(it - 1, 0)]:.2e} "
+                    f"converged={bool(stats.converged)}"
+                )
+            if save_dir and save_every and step % save_every == 0:
+                dat = os.path.join(save_dir, f"solution_step{step:04d}.dat")
+                write_petsc_vec(dat, np.asarray(u))
+                if write_vtu_files:
+                    vtu = f"solution_{step:04d}.vtu"
+                    write_vtu(os.path.join(save_dir, vtu), self.disc.mesh, u)
+                    pvd_entries.append((step, vtu))
+            if checkpoint_path and checkpoint_every and step % checkpoint_every == 0:
+                from navierstokes_tpu.io.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    checkpoint_path, cfg=cfg, step=step, u=np.asarray(u),
+                    u_old=np.asarray(u_old), delta_u=np.asarray(delta_u),
+                )
+            u_old = u
+
+        if save_dir and pvd_entries:
+            write_pvd(os.path.join(save_dir, "time_series.pvd"), pvd_entries)
+        return u

@@ -1,0 +1,222 @@
+"""End-to-end transient solve vs an independent dense-numpy implementation.
+
+The dense reference below re-implements the reference solver's exact
+semantics (`src/solve_newton.c:1203-1297`) with numpy dense linear algebra and
+direct solves — an independent code path sharing only the (golden-validated)
+element formulas.  Matching it validates assembly, BC handling, GMRES, and
+the Newton/time loop together.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navierstokes_tpu.config import NewtonConfig, NSConfig, SolverConfig
+from navierstokes_tpu.fem import elements as el
+from navierstokes_tpu.mesh import channel_mesh
+from navierstokes_tpu.model import NavierStokesSolver
+
+CFG = NSConfig(
+    dt=0.01,
+    t_final=0.03,
+    reynolds=100.0,
+    delta=0.1,
+    dtype="float64",
+    krylov=SolverConfig(rtol=1e-12, atol=1e-13, maxiter=4000, neumann_order=2),
+    stokes_krylov=SolverConfig(rtol=1e-13, atol=1e-13, maxiter=4000, neumann_order=2),
+)
+
+
+def dense_element_matrices(mesh, Re, dt, delta):
+    """Per-element dense matrices via the golden-validated element functions."""
+    mats = []
+    for t in np.asarray(mesh.tets):
+        a = jnp.asarray(mesh.coords[t])
+        vol = el.tet_volume(a)
+        grad = el.tet_gradients(a)
+        h = el.tet_diameter(a)
+        M = np.asarray(el.mass_matrix(vol))
+        A0 = np.asarray(el.diffusion_matrix(grad, vol, Re))
+        B = np.asarray(el.divergence_matrix(grad, vol))
+        D = np.asarray(el.pressure_stabilization_matrix(grad, vol, h, delta))
+        mats.append((t, np.asarray(grad), float(vol), M, A0, B, D))
+    return mats
+
+
+class DenseNewtonReference:
+    """Independent numpy implementation of the reference Newton time loop."""
+
+    def __init__(self, mesh, cfg: NSConfig):
+        self.mesh, self.cfg = mesh, cfg
+        nv = mesh.nv
+        self.ndof = 4 * nv
+        # BC table (`src/solve_newton.c:995-1035`)
+        rows, values = [], []
+        for node in range(nv):
+            tag = mesh.node_tags[node]
+            if tag in (1, 2):
+                y, z = mesh.coords[node, 1], mesh.coords[node, 2]
+                ux = (1 - y * y) * (1 - z * z) if tag == 2 else 0.0
+                for d2 in range(3):
+                    rows.append(4 * node + d2)
+                    values.append(ux if d2 == 0 else 0.0)
+            elif tag in (4, 5):
+                rows.append(4 * node + 1)
+                values.append(0.0)
+            elif tag in (6, 7):
+                rows.append(4 * node + 2)
+                values.append(0.0)
+        self.bc_rows = np.asarray(rows, dtype=np.int64)
+        self.bc_values = np.asarray(values)
+        self.mats = dense_element_matrices(mesh, cfg.reynolds, cfg.dt, cfg.delta)
+        self.mats_stokes = dense_element_matrices(
+            mesh, cfg.stokes_reynolds, cfg.dt, cfg.delta
+        )
+
+    def _vdofs(self, t):
+        return np.concatenate([[4 * n, 4 * n + 1, 4 * n + 2] for n in t])
+
+    def _pdofs(self, t):
+        return 4 * np.asarray(t) + 3
+
+    def assemble(self, u, mats, include_mass, include_convection):
+        A = np.zeros((self.ndof, self.ndof))
+        u4 = u.reshape(-1, 4)
+        for (t, grad, vol, M, A0, B, D) in mats:
+            vd, pd = self._vdofs(t), self._pdofs(t)
+            vv = A0.copy()
+            if include_mass:
+                vv += M / self.cfg.dt
+            if include_convection:
+                UL = jnp.asarray(u4[t, :3].T)
+                g = jnp.asarray(grad)
+                vv += np.asarray(el.convection_matrix_linearized(UL, g, vol))
+                vv += np.asarray(el.convection_matrix_nonlinear(UL, g, vol))
+                a1j, a2j = el.convection_jacobian(UL, g, vol)
+                vv += np.asarray(a1j) + np.asarray(a2j)
+            A[np.ix_(vd, vd)] += vv
+            A[np.ix_(vd, pd)] += B.T
+            A[np.ix_(pd, vd)] -= B
+            A[np.ix_(pd, pd)] += D
+        return A
+
+    def residual(self, u, u_old):
+        F = np.zeros(self.ndof)
+        u4, uo4 = u.reshape(-1, 4), u_old.reshape(-1, 4)
+        dt = self.cfg.dt
+        for (t, grad, vol, M, A0, B, D) in self.mats:
+            vd, pd = self._vdofs(t), self._pdofs(t)
+            ul = u4[t, :3].reshape(-1)      # u[3j+c] layout
+            ulo = uo4[t, :3].reshape(-1)
+            pl = u4[t, 3]
+            UL = jnp.asarray(u4[t, :3].T)
+            g = jnp.asarray(grad)
+            A1 = np.asarray(el.convection_matrix_linearized(UL, g, vol))
+            A2 = np.asarray(el.convection_matrix_nonlinear(UL, g, vol))
+            F[vd] += (A0 + M / dt) @ ul - (M / dt) @ ulo + (A1 + A2) @ ul + B.T @ pl
+            F[pd] += -B @ ul + D @ pl
+        return F
+
+    def zero_rows(self, A):
+        A = A.copy()
+        A[self.bc_rows, :] = 0.0
+        A[self.bc_rows, self.bc_rows] = 1.0
+        return A
+
+    def stokes_init(self):
+        S = self.assemble(np.zeros(self.ndof), self.mats_stokes, False, False)
+        S = self.zero_rows(S)
+        rhs = np.zeros(self.ndof)
+        rhs[self.bc_rows] = self.bc_values
+        return np.linalg.solve(S, rhs)
+
+    def run(self, n_steps):
+        cfg = self.cfg
+        u = self.stokes_init()
+        u_old = u.copy()
+        delta_u = np.zeros(self.ndof)
+        nw = cfg.newton
+        for _ in range(n_steps):
+            res0 = None
+            for it in range(nw.max_iter):
+                u[self.bc_rows] = self.bc_values
+                F = self.residual(u, u_old)
+                F[self.bc_rows] = 0.0
+                res = np.linalg.norm(F)
+                if it == 0:
+                    res0 = res
+                du = np.linalg.norm(delta_u)
+                if ((res < nw.rtol * res0) or (res < nw.atol)) and du < nw.atol:
+                    break
+                J = self.assemble(u, self.mats, True, True)
+                J = self.zero_rows(J)
+                delta_u = np.linalg.solve(J, -F)
+                u = u + delta_u
+                if it > 5 and du < nw.stol:
+                    break
+            u_old = u.copy()
+        return u
+
+
+@pytest.fixture(scope="module")
+def problem():
+    mesh = channel_mesh(3, 2, 2, length=2.0)
+    return mesh
+
+
+def test_stokes_init_matches_dense(problem):
+    mesh = problem
+    solver = NavierStokesSolver(mesh, CFG)
+    ref = DenseNewtonReference(mesh, CFG)
+    u0 = np.asarray(solver.stokes_init())
+    u0_ref = ref.stokes_init()
+    err = np.linalg.norm(u0 - u0_ref) / np.linalg.norm(u0_ref)
+    assert err < 1e-8, f"stokes relative error {err}"
+
+
+def test_transient_matches_dense(problem):
+    mesh = problem
+    solver = NavierStokesSolver(mesh, CFG)
+    ref = DenseNewtonReference(mesh, CFG)
+
+    u_ref = ref.run(3)
+    u = solver.run(3, monitor=False)
+    err = np.linalg.norm(np.asarray(u) - u_ref) / np.linalg.norm(u_ref)
+    assert err < 1e-6, f"transient relative L2 error {err}"
+
+
+def test_newton_converges_and_reports(problem):
+    mesh = problem
+    solver = NavierStokesSolver(mesh, CFG)
+    u0 = solver.stokes_init()
+    u, delta_u, stats = solver.step(u0, u0, jnp.zeros_like(u0))
+    assert bool(stats.converged)
+    assert int(stats.iters) <= CFG.newton.max_iter
+    res_h = np.asarray(stats.res_hist)
+    valid = res_h[~np.isnan(res_h)]
+    assert len(valid) == int(stats.iters)
+    # residual decreases from first Newton iterate to the last
+    if len(valid) > 1:
+        assert valid[-1] < valid[0]
+
+
+def test_save_outputs(problem, tmp_path):
+    from navierstokes_tpu.io.dat import read_petsc_vec
+
+    mesh = problem
+    solver = NavierStokesSolver(mesh, CFG)
+    out = str(tmp_path)
+    u = solver.run(
+        2, save_dir=out, save_every=1, write_vtu_files=True, monitor=False
+    )
+    dat = tmp_path / "solution_step0002.dat"
+    assert dat.exists()
+    with open(dat) as f:
+        head = f.read().split("\n")[:2]
+    assert head == ["Vec Object: 1 MPI process", "  type: seq"]
+    back = read_petsc_vec(str(dat))
+    # %g has 6 significant digits
+    np.testing.assert_allclose(back, np.asarray(u), rtol=1e-4, atol=1e-6)
+    assert (tmp_path / "time_series.pvd").exists()
+    assert (tmp_path / "solution_0001.vtu").exists()
