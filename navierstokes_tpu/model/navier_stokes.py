@@ -121,6 +121,18 @@ class NavierStokesSolver:
             self.disc.diag_slots, self.disc.bc.row_bc,
         )
 
+    def _linear_solve(self, bcsr_values, rhs, solver_cfg):
+        """Solve A x = rhs for BC-applied BCSR values.  Overridden by the
+        distributed solver with the halo-exchange partitioned matvec."""
+        ell_values = self._ell_values(bcsr_values)
+        matvec = self._matvec_from(ell_values)
+        pc = self._preconditioner_from(bcsr_values, matvec)
+        return gmres(
+            matvec, rhs, precond=pc, restart=solver_cfg.restart,
+            rtol=solver_cfg.rtol, atol=solver_cfg.atol,
+            maxiter=solver_cfg.maxiter,
+        )
+
     # -- Stokes initialization ----------------------------------------------
 
     def _stokes_solve(self):
@@ -132,15 +144,8 @@ class NavierStokesSolver:
             terms=STOKES_TERMS, nnzb=d.nnzb,
         )
         values = self._apply_bc_rows(values)
-        ell_values = self._ell_values(values)
-        matvec = self._matvec_from(ell_values)
-        pc = self._preconditioner_from(values, matvec)
         rhs = d.bc.value.astype(self.dtype)
-        sk = cfg.stokes_krylov
-        res = gmres(
-            matvec, rhs, precond=pc, restart=sk.restart,
-            rtol=sk.rtol, atol=sk.atol, maxiter=sk.maxiter,
-        )
+        res = self._linear_solve(values, rhs, cfg.stokes_krylov)
         return res.x, res.iters, res.converged
 
     def stokes_init(self):
@@ -189,13 +194,7 @@ class NavierStokesSolver:
                     terms=NONLINEAR_TERMS, nnzb=d.nnzb,
                 )
                 values = self._apply_bc_rows(jlin + jnl)
-                ell_values = self._ell_values(values)
-                matvec = self._matvec_from(ell_values)
-                pc = self._preconditioner_from(values, matvec)
-                sol = gmres(
-                    matvec, -F, precond=pc, restart=kv.restart,
-                    rtol=kv.rtol, atol=kv.atol, maxiter=kv.maxiter,
-                )
+                sol = self._linear_solve(values, -F, kv)
                 return u + sol.x, sol.x, lin_total + sol.iters
 
             def skip(operands):

@@ -1,0 +1,206 @@
+"""Row-partitioned block-ELL operator with explicit ICI halo exchange.
+
+The distributed-memory layer the reference never had (SURVEY.md §2.3: MPI is
+linked but unexercised).  TPU-native design:
+
+- nodes are RCM/band ordered, block-rows split into `n_devices` contiguous
+  chunks of L rows each (padded with identity rows),
+- the band property bounds every chunk's column references to its own rows
+  plus `halo` rows on each side, so one bidirectional `lax.ppermute` per SpMV
+  moves exactly the 2*halo boundary rows over ICI — the minimum communication
+  for a banded operator,
+- column indices are stored as position-invariant offsets `delta = col - row`
+  (|delta| <= halo), so ghost rows received from a neighbor use the same
+  gather arithmetic as own rows — no per-partition rebasing tables,
+- inside `shard_map` each device gathers from its (L + 2*halo, 4) window and
+  runs the same 4x4-block einsum as the single-chip kernel,
+- Krylov dots/norms on the globally-sharded vectors are partitioned by XLA
+  into local reductions + `psum` automatically.
+
+Matrix powers: `partitioned_spmv_power` computes A^k x with ONE k*halo-deep
+exchange of x *and* of the boundary operator rows, then k local sweeps that
+redundantly compute a shrinking ghost region — the communication-avoiding
+A^k x of the reference's mpk suite (`Generate1stlayer`,
+`mpk/SpMVmulti0.cpp:22-40`) re-expressed as ghost-layer tiling over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+@dataclasses.dataclass
+class RowPartition:
+    """Static partition layout (host-side)."""
+
+    n_devices: int
+    rows_per_dev: int            # L (block rows per device)
+    halo: int                    # H (block rows exchanged per side)
+    nb: int                      # true block rows
+    nb_pad: int                  # n_devices * L
+    slots: int
+    delta_indices: np.ndarray    # (nb_pad, S) int32: col - row in [-H, H]
+    pad_diag_slot: int = 0       # slot holding identity in padding rows
+
+
+def build_row_partition(
+    ell_indices: np.ndarray, n_devices: int, halo: int | None = None
+) -> RowPartition:
+    """Partition a block-ELL pattern into contiguous row chunks.
+
+    Requires the banded property max |col - row| <= halo <= L.
+    Padding rows reference themselves (delta 0).
+    """
+    nb, slots = ell_indices.shape
+    L = -(-nb // n_devices)
+    nb_pad = L * n_devices
+
+    rows = np.arange(nb, dtype=np.int64)[:, None]
+    delta = ell_indices.astype(np.int64) - rows
+    bw = int(np.abs(delta).max()) if nb else 0
+    if halo is None:
+        halo = bw
+    if bw > halo:
+        raise ValueError(f"block bandwidth {bw} exceeds halo {halo}")
+    if halo > L:
+        raise ValueError(
+            f"halo {halo} exceeds rows-per-device {L}: too many devices for "
+            "this mesh bandwidth (refine the mesh or reduce n_devices)"
+        )
+
+    delta_pad = np.zeros((nb_pad, slots), dtype=np.int32)
+    delta_pad[:nb] = delta
+    return RowPartition(
+        n_devices=n_devices,
+        rows_per_dev=L,
+        halo=halo,
+        nb=nb,
+        nb_pad=nb_pad,
+        slots=slots,
+        delta_indices=delta_pad,
+    )
+
+
+def pad_ell_values(part: RowPartition, values: jnp.ndarray) -> jnp.ndarray:
+    """(nb, S, 4, 4) -> (nb_pad, S, 4, 4) with identity blocks in pad rows."""
+    n_pad = part.nb_pad - part.nb
+    if n_pad == 0:
+        return values
+    pad = jnp.zeros((n_pad, part.slots, 4, 4), dtype=values.dtype)
+    pad = pad.at[:, part.pad_diag_slot].set(jnp.eye(4, dtype=values.dtype))
+    return jnp.concatenate([values, pad], axis=0)
+
+
+def pad_vector(part: RowPartition, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.pad(x, (0, 4 * (part.nb_pad - part.nb)))
+
+
+def unpad_vector(part: RowPartition, x: jnp.ndarray) -> jnp.ndarray:
+    return x[: 4 * part.nb]
+
+
+def _exchange(arr, depth: int, axis: str, n_dev: int):
+    """Fetch `depth` leading/trailing rows of `arr` from each neighbor.
+
+    arr: (L, ...) local rows.  Returns (L + 2*depth, ...); edge devices get
+    zero ghosts (never referenced under the band property).
+    """
+    if depth == 0:
+        return arr
+    pad_shape = (depth,) + arr.shape[1:]
+    if n_dev == 1:
+        pad = jnp.zeros(pad_shape, arr.dtype)
+        return jnp.concatenate([pad, arr, pad])
+    right_shift = [(i, i + 1) for i in range(n_dev - 1)]
+    left_shift = [(i + 1, i) for i in range(n_dev - 1)]
+    from_left = jax.lax.ppermute(arr[-depth:], axis, right_shift)
+    from_right = jax.lax.ppermute(arr[:depth], axis, left_shift)
+    return jnp.concatenate([from_left, arr, from_right])
+
+
+def partitioned_spmv(
+    part: RowPartition,
+    mesh: Mesh,
+    axis: str,
+    delta_indices: jnp.ndarray,   # (nb_pad, S) device array
+    values: jnp.ndarray,          # (nb_pad, S, 4, 4)
+    x: jnp.ndarray,               # (4 * nb_pad,)
+) -> jnp.ndarray:
+    """y = A x with one bidirectional halo exchange over ICI."""
+    n_dev, H, L = part.n_devices, part.halo, part.rows_per_dev
+
+    def body(delta_loc, vals_loc, x_loc):
+        xw = _exchange(x_loc, H, axis, n_dev)           # (L + 2H, 4)
+        q = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+        gather_at = q + delta_loc + H                   # (L, S), in [0, L+2H)
+        g = xw[gather_at]                               # (L, S, 4)
+        return jnp.einsum("rsab,rsb->ra", vals_loc, g)
+
+    y4 = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None, None, None), P(axis, None)),
+        out_specs=P(axis, None),
+    )(delta_indices, values, x.reshape(part.nb_pad, 4))
+    return y4.reshape(-1)
+
+
+def partitioned_spmv_power(
+    part: RowPartition,
+    mesh: Mesh,
+    axis: str,
+    delta_indices: jnp.ndarray,
+    values: jnp.ndarray,
+    x: jnp.ndarray,
+    k: int,
+) -> jnp.ndarray:
+    """Communication-avoiding A^k x: one k*H-deep exchange + k local sweeps.
+
+    Ghost rows are recomputed redundantly (the classic CA compute/comm
+    trade): sweep s computes valid rows at window offsets
+    [(s+1)*H, L + 2*D - (s+1)*H), so after k sweeps exactly the own rows
+    [D, D + L) remain — all from a single exchange of x and of the D-H deep
+    boundary *operator* rows.  Requires k * H <= L.
+    """
+    n_dev, H, L = part.n_devices, part.halo, part.rows_per_dev
+    D = k * H
+    if D > L:
+        raise ValueError(f"k*halo = {D} exceeds rows-per-device {L}")
+    if k == 1:
+        return partitioned_spmv(part, mesh, axis, delta_indices, values, x)
+
+    ghost = D - H  # operator rows needed beyond own (stencil depth H less)
+
+    def body(delta_loc, vals_loc, x_loc):
+        xw = _exchange(x_loc, D, axis, n_dev)                  # (L+2D, 4)
+        delta_ext = _exchange(delta_loc, ghost, axis, n_dev)   # (L+2(D-H), S)
+        vals_ext = _exchange(vals_loc, ghost, axis, n_dev)
+
+        ext = L + 2 * D
+        q = jax.lax.broadcasted_iota(jnp.int32, (ext - 2 * H, 1), 0)
+        # Row at window offset p in [H, ext-H) uses operator row p-H of the
+        # ext arrays and gathers at p + delta.
+        gather_at = jnp.clip(q + H + delta_ext, 0, ext - 1)    # (ext-2H, S)
+
+        cur = xw
+        for s in range(k):
+            g = cur[gather_at]                                  # (ext-2H, S, 4)
+            y = jnp.einsum("rsab,rsb->ra", vals_ext, g)
+            y = jnp.pad(y, ((H, H), (0, 0)))                    # back to (ext, 4)
+            off = jax.lax.broadcasted_iota(jnp.int32, (ext, 1), 0)
+            valid = (off >= (s + 1) * H) & (off < ext - (s + 1) * H)
+            cur = jnp.where(valid, y, 0.0)
+        return cur[D : D + L]
+
+    y4 = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None, None, None), P(axis, None)),
+        out_specs=P(axis, None),
+    )(delta_indices, values, x.reshape(part.nb_pad, 4))
+    return y4.reshape(-1)

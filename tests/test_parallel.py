@@ -1,0 +1,139 @@
+"""Multi-chip partitioned operator: multi-device == single-device equivalence
+(the test the reference never had — SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh as DeviceMesh
+
+from navierstokes_tpu.config import NSConfig, SolverConfig
+from navierstokes_tpu.fem.assembly import (
+    LINEAR_TERMS,
+    assemble_operator,
+    build_discretization,
+)
+from navierstokes_tpu.fem.dirichlet import zero_rows_bcsr
+from navierstokes_tpu.mesh import channel_mesh
+from navierstokes_tpu.model import NavierStokesSolver
+from navierstokes_tpu.ops.spmv import spmv_bell
+from navierstokes_tpu.parallel import (
+    DistributedNavierStokesSolver,
+    build_row_partition,
+    partitioned_spmv,
+)
+from navierstokes_tpu.parallel.partitioned import (
+    pad_ell_values,
+    pad_vector,
+    partitioned_spmv_power,
+    unpad_vector,
+)
+from navierstokes_tpu.sparse.bcsr import BCSR4
+from navierstokes_tpu.sparse.bell import bell_from_bcsr
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def device_mesh():
+    devs = jax.devices()
+    assert len(devs) >= N_DEV, "conftest must provide 8 virtual CPU devices"
+    return DeviceMesh(np.array(devs[:N_DEV]), ("x",))
+
+
+@pytest.fixture(scope="module")
+def banded_operator():
+    """BC-applied linear FEM operator on a long band-ordered channel."""
+    mesh = channel_mesh(48, 2, 2, length=8.0)  # long & thin: small bandwidth
+    disc = build_discretization(mesh, dtype=jnp.float64)
+    op = assemble_operator(disc, jnp.zeros(disc.ndof), 0.01, 50.0, 0.1,
+                           LINEAR_TERMS)
+    values = zero_rows_bcsr(
+        op.values, disc.row_ids, jnp.asarray(disc.indices), disc.diag_slots,
+        disc.bc.row_bc,
+    )
+    op = BCSR4(indptr=op.indptr, indices=op.indices, values=values)
+    return disc, op
+
+
+def test_partitioned_spmv_matches_single(device_mesh, banded_operator):
+    disc, op = banded_operator
+    ell = bell_from_bcsr(op)
+    part = build_row_partition(ell.indices, N_DEV)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(4 * ell.nb))
+    y_single = spmv_bell(jnp.asarray(ell.indices), ell.values, x)
+
+    vals_pad = pad_ell_values(part, ell.values)
+    xp = pad_vector(part, x)
+    y_multi = partitioned_spmv(
+        part, device_mesh, "x", jnp.asarray(part.delta_indices), vals_pad, xp
+    )
+    np.testing.assert_allclose(
+        np.asarray(unpad_vector(part, y_multi)), np.asarray(y_single),
+        rtol=1e-13, atol=1e-13,
+    )
+    # padding rows act as identity
+    tail = np.asarray(y_multi)[4 * part.nb:]
+    np.testing.assert_allclose(tail, np.asarray(xp)[4 * part.nb:])
+
+
+@pytest.mark.parametrize("k", [2, 3, 4])
+def test_partitioned_matrix_powers(device_mesh, banded_operator, k):
+    """CA A^k x (one deep exchange) == k chained SpMVs — the fused-vs-chained
+    identity of `mpk/SpMVmulti0.cpp:365-416`, on 8 devices."""
+    disc, op = banded_operator
+    ell = bell_from_bcsr(op)
+    part = build_row_partition(ell.indices, N_DEV)
+    if k * part.halo > part.rows_per_dev:
+        pytest.skip("mesh too small for this k at 8 devices")
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(4 * ell.nb))
+
+    y_ref = x
+    for _ in range(k):
+        y_ref = spmv_bell(jnp.asarray(ell.indices), ell.values, y_ref)
+
+    vals_pad = pad_ell_values(part, ell.values)
+    y_ca = partitioned_spmv_power(
+        part, device_mesh, "x", jnp.asarray(part.delta_indices), vals_pad,
+        pad_vector(part, x), k,
+    )
+    rel = np.linalg.norm(
+        np.asarray(unpad_vector(part, y_ca)) - np.asarray(y_ref)
+    ) / np.linalg.norm(np.asarray(y_ref))
+    assert rel < 1e-12, f"fused A^{k}x relative error {rel}"
+
+
+def test_distributed_solver_matches_single_chip():
+    """Full transient step on 8 devices == single chip (tolerance-level)."""
+    cfg = NSConfig(
+        dt=0.01, t_final=0.02, reynolds=100.0, delta=0.1, dtype="float64",
+        krylov=SolverConfig(rtol=1e-12, atol=1e-13, maxiter=4000),
+        stokes_krylov=SolverConfig(rtol=1e-13, atol=1e-13, maxiter=4000),
+    )
+    mesh = channel_mesh(12, 2, 2, length=6.0)
+
+    single = NavierStokesSolver(mesh, cfg)
+    u_single = single.run(2, monitor=False)
+
+    dist, perm = DistributedNavierStokesSolver.from_mesh(
+        mesh, cfg, devices=jax.devices()[:N_DEV]
+    )
+    u_dist = dist.run(2, monitor=False)
+
+    # identical node ordering (generator mesh is already band-ordered)
+    np.testing.assert_array_equal(perm, np.arange(mesh.nv))
+    err = np.linalg.norm(np.asarray(u_dist) - np.asarray(u_single)) / (
+        np.linalg.norm(np.asarray(u_single))
+    )
+    assert err < 1e-8, f"multi-chip vs single-chip relative error {err}"
+
+
+def test_partition_rejects_wide_band(device_mesh):
+    mesh = channel_mesh(2, 2, 2)  # tiny: bandwidth ~ nv
+    disc = build_discretization(mesh, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="halo|bandwidth"):
+        build_row_partition(disc.ell_indices, 16)
