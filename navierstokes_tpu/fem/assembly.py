@@ -53,6 +53,9 @@ class Discretization:
     ell_indices: np.ndarray      # (nb, S) host
     ell_indices_dev: jnp.ndarray
     slot_of_bcsr: jnp.ndarray    # (nnzb,) device: bcsr slot -> ell flat slot
+    # scalar-DIA pattern (the fast TPU layout — see sparse/dia.py)
+    dia_pattern: "DIAPattern"
+    dia_flat_map: jnp.ndarray    # (nnzb*16,) device
     bc: DirichletBC
 
     @property
@@ -96,6 +99,10 @@ def build_discretization(
 
     ell_indices, slot_of_bcsr = bell_pattern_from_bcsr(indptr, indices, ell_slots)
 
+    from navierstokes_tpu.sparse.dia import build_dia_pattern
+
+    dia_pattern = build_dia_pattern(indptr, indices)
+
     return Discretization(
         mesh=mesh,
         tets=tets,
@@ -110,6 +117,8 @@ def build_discretization(
         ell_indices=ell_indices,
         ell_indices_dev=jnp.asarray(ell_indices),
         slot_of_bcsr=jnp.asarray(slot_of_bcsr),
+        dia_pattern=dia_pattern,
+        dia_flat_map=jnp.asarray(dia_pattern.flat_map),
         bc=build_dirichlet(mesh, dtype=dtype),
     )
 

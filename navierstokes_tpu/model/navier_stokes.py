@@ -48,7 +48,7 @@ from navierstokes_tpu.io.dat import write_petsc_vec
 from navierstokes_tpu.io.vtu import write_pvd, write_vtu
 from navierstokes_tpu.mesh.core import Mesh
 from navierstokes_tpu.ops.block import block4_apply, block4_inverse
-from navierstokes_tpu.ops.spmv import spmv_bell
+from navierstokes_tpu.ops.spmv import spmv_bell, spmv_dia
 from navierstokes_tpu.sparse.bell import bell_values_from_bcsr_values
 from navierstokes_tpu.solvers.gmres import gmres
 
@@ -122,11 +122,36 @@ class NavierStokesSolver:
         )
 
     def _linear_solve(self, bcsr_values, rhs, solver_cfg):
-        """Solve A x = rhs for BC-applied BCSR values.  Overridden by the
-        distributed solver with the halo-exchange partitioned matvec."""
-        ell_values = self._ell_values(bcsr_values)
-        matvec = self._matvec_from(ell_values)
-        pc = self._preconditioner_from(bcsr_values, matvec)
+        """Solve A x = rhs for BC-applied BCSR values via the scalar-DIA fast
+        path (see sparse/dia.py).  Overridden by the distributed solver with
+        the halo-exchange partitioned matvec."""
+        from navierstokes_tpu.sparse.dia import (
+            block_diag_to_dia,
+            dia_values_from_bcsr_values,
+        )
+
+        d = self.disc
+        pat = d.dia_pattern
+        dia_data = dia_values_from_bcsr_values(
+            pat, bcsr_values, flat_map_dev=d.dia_flat_map
+        )
+        offsets = pat.offsets
+
+        def matvec(x):
+            return spmv_dia(offsets, dia_data, x)
+
+        inv_diag = block4_inverse(
+            bcsr_values[d.diag_slots], pivot_eps=1e-300, shift=1e-8
+        )
+        pc_dia = block_diag_to_dia(inv_diag)
+        order = self.cfg.krylov.neumann_order
+
+        def pc(r):
+            z = spmv_dia(pc_dia.offsets, pc_dia.data, r)
+            for _ in range(order):
+                z = z + spmv_dia(pc_dia.offsets, pc_dia.data, r - matvec(z))
+            return z
+
         return gmres(
             matvec, rhs, precond=pc, restart=solver_cfg.restart,
             rtol=solver_cfg.rtol, atol=solver_cfg.atol,
