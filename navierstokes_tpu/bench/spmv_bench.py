@@ -1,0 +1,131 @@
+"""SpMV / matrix-powers benchmark driver — the mpk suite equivalent.
+
+Reproduces the reference's benchmark tables (`mpk/log/log_SPMV.txt`,
+`log_2SPMV.txt`, `log_SPM2V.txt`) in the same format:
+
+    Matrix loaded: <rows> rows, <nnz> nonzeros
+    SpMV <variant> : <t> us | <speedup>x | rel err = <e>
+
+over the same 10-matrix scaling series (regenerated from the synthetic
+channel meshes, since `mat/` is stripped from the reference repo).
+
+Usage:
+    python -m navierstokes_tpu.bench.spmv_bench [--matrices 1,2,3] \
+        [--kernel spmv|spm2v|2spmv] [--dtype float32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def run_one(matrix_id: int, kernel: str, dtype_str: str):
+    import jax
+    import jax.numpy as jnp
+
+    from navierstokes_tpu.bench.timing import chained_op_time, rel_error
+    from navierstokes_tpu.fem.assembly import (
+        LINEAR_TERMS,
+        assemble_operator,
+        build_discretization,
+    )
+    from navierstokes_tpu.mesh.box import scaling_series_mesh
+    from navierstokes_tpu.ops.mpk import matrix_power
+    from navierstokes_tpu.ops.spmv import spmv_bcsr_ref, spmv_bell, spmv_dia
+    from navierstokes_tpu.sparse.bell import bell_from_bcsr
+    from navierstokes_tpu.sparse.dia import dia_values_from_bcsr_values
+
+    dtype = jnp.dtype(dtype_str)
+    mesh = scaling_series_mesh(matrix_id)
+    disc = build_discretization(mesh, dtype=dtype)
+    op = assemble_operator(
+        disc, jnp.zeros(disc.ndof, dtype), 0.001, 300.0, 0.05, LINEAR_TERMS
+    )
+    nnz = op.nnz
+    print(f"Matrix loaded: {disc.ndof} rows, {nnz} nonzeros", flush=True)
+
+    ell = bell_from_bcsr(op)
+    idx = jnp.asarray(ell.indices)
+    row_ids = jnp.asarray(op.row_ids())
+    bcsr_idx = jnp.asarray(op.indices)
+    pat = disc.dia_pattern
+    dia_data = dia_values_from_bcsr_values(pat, op.values,
+                                           flat_map_dev=disc.dia_flat_map)
+    dia_bf16 = dia_data.astype(jnp.bfloat16)
+    offsets = pat.offsets
+
+    k = {"spmv": 1, "2spmv": 2, "spm2v": 2}[kernel]
+    label = {"spmv": "SpMV", "2spmv": "2SpMV", "spm2v": "SpM2V"}[kernel]
+
+    def powk(stepper):
+        if kernel == "2spmv":
+            # two *separate* dispatches (the unfused baseline the reference
+            # compares against) — jit each spmv alone
+            one = jax.jit(stepper)
+
+            def f(v):
+                return one(one(v))
+
+            return f
+        return lambda v: matrix_power_like(stepper, v, k)
+
+    def matrix_power_like(stepper, v, kk):
+        y = v
+        for _ in range(kk):
+            y = stepper(y)
+        return y
+
+    variants = [
+        ("oracle (segment-sum)",
+         lambda v: matrix_power_like(
+             lambda u: spmv_bcsr_ref(row_ids, bcsr_idx, op.values, u), v, k)),
+        ("block-ELL gather",
+         lambda v: matrix_power_like(
+             lambda u: spmv_bell(idx, ell.values, u), v, k)),
+        ("DIA",
+         lambda v: matrix_power_like(
+             lambda u: spmv_dia(offsets, dia_data, u), v, k)),
+        ("DIA bf16",
+         lambda v: matrix_power_like(
+             lambda u: spmv_dia(offsets, dia_bf16, u).astype(dtype), v, k)),
+    ]
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(disc.ndof), dtype=dtype
+    )
+    y_ref = None
+    t_ref = None
+    for name, fn in variants:
+        y = np.asarray(fn(x))
+        t = chained_op_time(fn, x)
+        us = t * 1e6
+        if y_ref is None:
+            y_ref = y
+            t_ref = t
+            print(f"{label} {name} : {us:8.1f} us | ref | ref", flush=True)
+        else:
+            err = rel_error(y, y_ref)
+            print(
+                f"{label} {name} : {us:8.1f} us | {t_ref / t:.2f}x | "
+                f"rel err = {err:.3e}",
+                flush=True,
+            )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--matrices", default="1,2,3,4,5,6",
+                   help="comma-separated matrix ids 1-10")
+    p.add_argument("--kernel", default="spmv",
+                   choices=["spmv", "2spmv", "spm2v"])
+    p.add_argument("--dtype", default="float32")
+    args = p.parse_args(argv)
+    for mid in (int(t) for t in args.matrices.split(",")):
+        run_one(mid, args.kernel, args.dtype)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""MatrixMarket coordinate-format IO.
+
+The reference emits `.mtx` via PETSc viewers (`save_matrix_mtx`,
+`src/solve_newton.c:53-60`) to feed the standalone mpk benchmark suite,
+which parses them back (`mpk/SpM2V.cpp:815-852`).  Same role here: the
+matrix-generator app writes the assembled NS operators as `.mtx`, and the
+benchmark drivers read any MatrixMarket general real matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from navierstokes_tpu.sparse.bcsr import BCSR4
+
+
+def write_mtx(path: str, m: BCSR4) -> None:
+    """Write a BCSR4 as scalar MatrixMarket coordinate general real."""
+    rows = m.row_ids().astype(np.int64)
+    cols = m.indices.astype(np.int64)
+    vals = np.asarray(m.values)
+    n = 4 * m.nb
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"{n} {n} {m.nnzb * 16}\n")
+        for k in range(m.nnzb):
+            base_r, base_c = 4 * rows[k], 4 * cols[k]
+            blk = vals[k]
+            for a in range(4):
+                for b in range(4):
+                    f.write(f"{base_r + a + 1} {base_c + b + 1} {blk[a, b]:.17g}\n")
+
+
+def read_mtx(path: str):
+    """Read MatrixMarket coordinate real general -> (n, rows, cols, vals) COO
+    with 0-based indices, duplicates preserved."""
+    with open(path, "r") as f:
+        header = f.readline()
+        if "coordinate" not in header:
+            raise ValueError("only coordinate-format MatrixMarket supported")
+        symmetric = "symmetric" in header
+        line = f.readline()
+        while line.startswith("%"):
+            line = f.readline()
+        nr, nc, nnz = (int(t) for t in line.split())
+        data = np.loadtxt(f, ndmin=2)
+    rows = data[:, 0].astype(np.int64) - 1
+    cols = data[:, 1].astype(np.int64) - 1
+    vals = data[:, 2] if data.shape[1] > 2 else np.ones(len(rows))
+    if symmetric:
+        off = rows != cols
+        r_extra, c_extra, v_extra = cols[off], rows[off], vals[off]
+        rows = np.concatenate([rows, r_extra])
+        cols = np.concatenate([cols, c_extra])
+        vals = np.concatenate([vals, v_extra])
+    return nr, rows, cols, vals
+
+
+def coo_to_csr(n: int, rows, cols, vals):
+    """COO -> CSR with duplicate summation — the `COO2CSR` equivalent
+    (`mpk/utils.cpp:97-127`)."""
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    # merge duplicates
+    keys = rows * n + cols
+    uniq, first = np.unique(keys, return_index=True)
+    summed = np.add.reduceat(vals, first)
+    u_rows = (uniq // n).astype(np.int64)
+    u_cols = (uniq % n).astype(np.int64)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, u_rows + 1, 1)
+    indptr = np.cumsum(indptr)
+    return indptr, u_cols, summed
