@@ -87,11 +87,18 @@ def build_discretization(
     a = coords[tets]                              # (ne, 4, 3)
     vol, grad, h = el.batched_geometry(a)
 
-    # Block pattern: all (i, j) node pairs per element.
-    t = mesh.tets
-    rows = np.repeat(t, 4, axis=1).ravel()
-    cols = np.tile(t, (1, 4)).ravel()
-    indptr, indices, slot_of_pair = bcsr_pattern_from_coo(rows, cols, mesh.nv)
+    # Block pattern: all (i, j) node pairs per element (native graph builder
+    # when available, numpy fallback otherwise — identical output).
+    from navierstokes_tpu import native
+
+    built = native.build_pattern_native(mesh.nv, mesh.tets)
+    if built is not None:
+        indptr, indices, slot_of_pair = built
+    else:
+        t = mesh.tets
+        rows = np.repeat(t, 4, axis=1).ravel()
+        cols = np.tile(t, (1, 4)).ravel()
+        indptr, indices, slot_of_pair = bcsr_pattern_from_coo(rows, cols, mesh.nv)
     row_ids = np.repeat(np.arange(mesh.nv, dtype=np.int32), np.diff(indptr))
     diag = np.flatnonzero(indices == row_ids).astype(np.int32)
     if len(diag) != mesh.nv:

@@ -23,6 +23,16 @@ from navierstokes_tpu.mesh.core import COLLECTED_TAGS, Mesh
 
 
 def read_gmsh(path: str) -> Mesh:
+    from navierstokes_tpu import native
+
+    parsed = native.parse_gmsh_native(path)
+    if parsed is not None:
+        coords, tets, tags = parsed
+        return Mesh(coords=coords, tets=tets, node_tags=tags)
+    return _read_gmsh_py(path)
+
+
+def _read_gmsh_py(path: str) -> Mesh:
     with open(path, "r") as f:
         lines = f.read().split("\n")
 

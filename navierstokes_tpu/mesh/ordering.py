@@ -31,6 +31,18 @@ def _adjacency_lists(nv: int, rows: np.ndarray, cols: np.ndarray):
 
 def rcm_ordering(mesh: Mesh) -> np.ndarray:
     """Reverse Cuthill–McKee permutation: perm[new] = old node index."""
+    from navierstokes_tpu import native
+
+    built = native.build_pattern_native(mesh.nv, mesh.tets)
+    if built is not None:
+        indptr, indices, _ = built
+        perm = native.rcm_native(mesh.nv, indptr, indices)
+        if perm is not None:
+            return perm
+    return _rcm_ordering_py(mesh)
+
+
+def _rcm_ordering_py(mesh: Mesh) -> np.ndarray:
     rows, cols = mesh.node_adjacency()
     nv = mesh.nv
     ptr, adj = _adjacency_lists(nv, rows, cols)
