@@ -40,6 +40,11 @@ class NewtonConfig:
     atol: float = 1e-8
     stol: float = 1e-10             # stagnation threshold on |du|
     max_iter: int = 30
+    du_tol: Optional[float] = None  # |du| threshold in the convergence test;
+                                    # None = atol (exact reference semantics,
+                                    # `src/solve_newton.c:1231-1232`); set
+                                    # explicitly for float32 runs where
+                                    # |du| bottoms out near sqrt(n)*eps*|u|
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,6 +71,24 @@ class NSConfig:
     # Numerics
     dtype: str = "float32"          # compute dtype on-device
     assembly_dtype: str = "float64" # host-side element precompute dtype
+    residual: str = "operator"      # "operator" | "elementwise".
+    # "operator": F = A_lin u - (M/dt) u_old as two DIA SpMVs (~0.1 ms)
+    # using the precomputed constant operators — valid because the
+    # reference residual is linear in u (convection cancels identically).
+    # "elementwise": per-element evaluation + scatter, the literal
+    # re-expression of `compute_residual_optimized`
+    # (`src/solve_newton.c:284-386`); ~600x slower on TPU, kept as the
+    # parity oracle.  Both agree to roundoff (tested).
+    jacobian: str = "exact"         # "exact" | "reference".
+    # The reference residual is LINEAR in u — its convection terms cancel
+    # identically (see tests/test_elements.py::test_convection_cancellation
+    # _quirk) — while its iteration matrix re-adds convection
+    # (`src/solve_newton.c:1245-1246`), turning Newton into a slowly
+    # contracting fixed-point iteration.  Both modes converge to the SAME
+    # state (the residual's root); "exact" uses the residual's true (linear,
+    # constant) Jacobian, pre-scaled once at setup, so each time step costs
+    # ~one Krylov solve.  "reference" reproduces the reference's iteration
+    # trajectory for parity studies.
 
     # Sparse layout
     ell_slots: Optional[int] = None  # max 4x4 blocks per block-row; None = derive

@@ -200,7 +200,9 @@ def element_node_blocks(grad, vol, h, UL, dt, reynolds, delta, *, terms):
     vv = jnp.zeros((12, 12), dtype=dtype)
     if "diffusion" in terms:
         vv = vv + diffusion_matrix(grad, vol, reynolds)
-    if "mass_dt" in terms:
+    if "mass_dt" in terms or "mass_dt_bare" in terms:
+        # "mass_dt_bare": the velocity-mass operator alone (no B/B^T/D
+        # blocks) — used for the operator-form residual's M/dt u_old term.
         vv = vv + mass_matrix(vol, dtype) / dt
     if "convection" in terms:
         vv = vv + convection_matrix_linearized(UL, grad, vol)

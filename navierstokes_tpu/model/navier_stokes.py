@@ -82,6 +82,29 @@ class NavierStokesSolver:
             self.disc.slot_of_pair, terms=LINEAR_TERMS, nnzb=self.disc.nnzb,
         )
 
+        self._jlin_bc_values = self._apply_bc_rows(self._jlin_values)
+        if self.cfg.jacobian == "exact":
+            # The residual's true Jacobian is constant: pre-scale it once.
+            self._exact_prep = self._prepare_operator(self._jlin_bc_values)
+
+        if self.cfg.residual == "operator":
+            # Operator-form residual: F = A_lin u - (M/dt) u_old, both as
+            # constant DIA operators (no per-iteration element scatter).
+            from navierstokes_tpu.sparse.dia import dia_values_from_bcsr_values
+
+            d = self.disc
+            self._res_A = dia_values_from_bcsr_values(
+                d.dia_pattern, self._jlin_values, flat_map_dev=d.dia_flat_map
+            )
+            mass_values = assemble_bcsr_values(
+                d.tets, d.vol, d.grad, d.h, dummy_UL, self.cfg.dt,
+                self.cfg.reynolds, self.cfg.delta, d.slot_of_pair,
+                terms=frozenset({"mass_dt_bare"}), nnzb=d.nnzb,
+            )
+            self._res_M = dia_values_from_bcsr_values(
+                d.dia_pattern, mass_values, flat_map_dev=d.dia_flat_map
+            )
+
         self._stokes_jit = jax.jit(self._stokes_solve)
         self._step_jit = jax.jit(self._newton_step)
 
@@ -121,42 +144,67 @@ class NavierStokesSolver:
             self.disc.diag_slots, self.disc.bc.row_bc,
         )
 
-    def _linear_solve(self, bcsr_values, rhs, solver_cfg):
-        """Solve A x = rhs for BC-applied BCSR values via the scalar-DIA fast
-        path (see sparse/dia.py).  Overridden by the distributed solver with
-        the halo-exchange partitioned matvec."""
+    def _prepare_operator(self, bcsr_values):
+        """BC-applied BCSR values -> pre-scaled DIA operator S = D^{-1} A
+        plus D^{-1} (see sparse/dia.py).  Folding block-Jacobi into the
+        operator makes each left-preconditioned GMRES iteration exactly one
+        SpMV."""
         from navierstokes_tpu.sparse.dia import (
             block_diag_to_dia,
             dia_values_from_bcsr_values,
+            scale_rows_dia,
         )
 
         d = self.disc
-        pat = d.dia_pattern
         dia_data = dia_values_from_bcsr_values(
-            pat, bcsr_values, flat_map_dev=d.dia_flat_map
+            d.dia_pattern, bcsr_values, flat_map_dev=d.dia_flat_map
         )
-        offsets = pat.offsets
-
-        def matvec(x):
-            return spmv_dia(offsets, dia_data, x)
-
         inv_diag = block4_inverse(
             bcsr_values[d.diag_slots], pivot_eps=1e-300, shift=1e-8
         )
-        pc_dia = block_diag_to_dia(inv_diag)
+        s_offsets, s_data = scale_rows_dia(d.dia_pattern, dia_data, inv_diag)
+        invd = block_diag_to_dia(inv_diag)
+        return (s_offsets, s_data, invd.offsets, invd.data)
+
+    def _solve_prepared(self, prep, rhs, solver_cfg):
+        """Left-preconditioned GMRES on the pre-scaled operator; an optional
+        truncated Neumann series P(S) = sum_i (I-S)^i strengthens the
+        preconditioner at `neumann_order` extra SpMVs per iteration."""
+        s_offsets, s_data, invd_offsets, invd_data = prep
         order = self.cfg.krylov.neumann_order
 
-        def pc(r):
-            z = spmv_dia(pc_dia.offsets, pc_dia.data, r)
-            for _ in range(order):
-                z = z + spmv_dia(pc_dia.offsets, pc_dia.data, r - matvec(z))
-            return z
+        def apply_S(x):
+            return spmv_dia(s_offsets, s_data, x)
 
+        def neumann(r):
+            acc = r
+            cur = r
+            for _ in range(order):
+                cur = cur - apply_S(cur)
+                acc = acc + cur
+            return acc
+
+        def matvec(x):
+            return neumann(apply_S(x))
+
+        b_eff = neumann(spmv_dia(invd_offsets, invd_data, rhs))
         return gmres(
-            matvec, rhs, precond=pc, restart=solver_cfg.restart,
+            matvec, b_eff, restart=solver_cfg.restart,
             rtol=solver_cfg.rtol, atol=solver_cfg.atol,
             maxiter=solver_cfg.maxiter,
         )
+
+    def _linear_solve(self, bcsr_values, rhs, solver_cfg):
+        """Solve A x = rhs for BC-applied BCSR values via the scalar-DIA fast
+        path.  Overridden by the distributed solver with the halo-exchange
+        partitioned matvec."""
+        return self._solve_prepared(
+            self._prepare_operator(bcsr_values), rhs, solver_cfg
+        )
+
+    def _exact_solve(self, rhs, solver_cfg):
+        """Solve with the precomputed constant Jacobian (exact mode)."""
+        return self._solve_prepared(self._exact_prep, rhs, solver_cfg)
 
     # -- Stokes initialization ----------------------------------------------
 
@@ -188,7 +236,13 @@ class NavierStokesSolver:
         dtype = self.dtype
         jlin = self._jlin_values
 
+        offsets = d.dia_pattern.offsets
+
         def residual(u):
+            if cfg.residual == "operator":
+                return spmv_dia(offsets, self._res_A, u) - spmv_dia(
+                    offsets, self._res_M, u_old
+                )
             return assemble_residual(
                 d.tets, d.vol, d.grad, d.h, u, u_old,
                 cfg.dt, cfg.reynolds, cfg.delta, ndof=d.ndof,
@@ -205,21 +259,25 @@ class NavierStokesSolver:
             res_h = res_h.at[it].set(res_norm)
             du_h = du_h.at[it].set(du_norm)
 
+            du_tol = nw.atol if nw.du_tol is None else nw.du_tol
             converged = (
                 (res_norm < nw.rtol * res0) | (res_norm < nw.atol)
-            ) & (du_norm < nw.atol)
+            ) & (du_norm < du_tol)
             stagnated = (it > 5) & (du_norm < nw.stol)
 
             def do_solve(operands):
                 u, delta_u, lin_total = operands
-                UL, _ = local_fields(d.tets, u)
-                jnl = assemble_bcsr_values(
-                    d.tets, d.vol, d.grad, d.h, UL, cfg.dt, cfg.reynolds,
-                    cfg.delta, d.slot_of_pair,
-                    terms=NONLINEAR_TERMS, nnzb=d.nnzb,
-                )
-                values = self._apply_bc_rows(jlin + jnl)
-                sol = self._linear_solve(values, -F, kv)
+                if cfg.jacobian == "exact":
+                    sol = self._exact_solve(-F, kv)
+                else:
+                    UL, _ = local_fields(d.tets, u)
+                    jnl = assemble_bcsr_values(
+                        d.tets, d.vol, d.grad, d.h, UL, cfg.dt, cfg.reynolds,
+                        cfg.delta, d.slot_of_pair,
+                        terms=NONLINEAR_TERMS, nnzb=d.nnzb,
+                    )
+                    values = self._apply_bc_rows(jlin + jnl)
+                    sol = self._linear_solve(values, -F, kv)
                 return u + sol.x, sol.x, lin_total + sol.iters
 
             def skip(operands):

@@ -115,6 +115,38 @@ def spmv_dia_multi(offsets, data, X):
     return Y
 
 
+SPMV_VARIANTS = ("oracle", "ell", "dia", "dia_bf16", "pallas_dia")
+
+
+def make_spmv(variant: str, *, bcsr=None, ell=None, dia=None):
+    """Runtime SpMV variant dispatch — the `MatMult_SeqBAIJ_4_VariantSelector`
+    equivalent (`src/kernels/variant_selector.c:3-15`), selected by name
+    instead of a PETSc option.  Pass whichever format objects the variant
+    needs; returns a closure y = A x.
+    """
+    if variant == "oracle":
+        import jax.numpy as _jnp
+
+        row_ids = _jnp.asarray(bcsr.row_ids())
+        idx = _jnp.asarray(bcsr.indices)
+        return lambda x: spmv_bcsr_ref(row_ids, idx, bcsr.values, x)
+    if variant == "ell":
+        import jax.numpy as _jnp
+
+        idx = _jnp.asarray(ell.indices)
+        return lambda x: spmv_bell(idx, ell.values, x)
+    if variant == "dia":
+        return lambda x: spmv_dia(dia.offsets, dia.data, x)
+    if variant == "dia_bf16":
+        data16 = dia.data.astype(jnp.bfloat16)
+        return lambda x: spmv_dia(dia.offsets, data16, x).astype(x.dtype)
+    if variant == "pallas_dia":
+        from navierstokes_tpu.ops.pallas_dia import spmv_dia_pallas
+
+        return lambda x: spmv_dia_pallas(dia.offsets, dia.data, x)
+    raise ValueError(f"unknown spmv variant {variant!r}; one of {SPMV_VARIANTS}")
+
+
 def compute_window_starts(indices, tile, window):
     """Host-side: per-tile window start so all tile columns fit in `window`."""
     import numpy as np

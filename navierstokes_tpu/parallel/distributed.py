@@ -104,3 +104,7 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
             resnorm=res.resnorm,
             converged=res.converged,
         )
+
+    def _exact_solve(self, rhs, solver_cfg):
+        """Exact-Jacobian mode routed through the partitioned matvec."""
+        return self._linear_solve(self._jlin_bc_values, rhs, solver_cfg)

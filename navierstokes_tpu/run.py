@@ -1,0 +1,148 @@
+"""Transient Navier-Stokes CLI — the `solve_newton` main() equivalent.
+
+The reference CLI (`src/solve_newton.c:925-1323`): `-msh <file> [-avx2]
+[-save]` with physics constants hardcoded.  Here everything is a flag:
+
+    python -m navierstokes_tpu.run --msh mesh.msh --save
+    python -m navierstokes_tpu.run --matrix-id 6 --re 300 --dt 1e-3 \
+        --t-final 1.0 --delta 0.05 --save --save-dir res --vtu
+    python -m navierstokes_tpu.run --matrix-id 3 --devices 4   # multi-chip
+
+Per-step output mirrors the reference Newton monitor; `--save` writes
+PETSc-ASCII `res/solution_stepNNNN.dat` byte-compatible with the golden
+corpus; `--checkpoint`/`--resume` give real restart capability (which the
+reference lacks).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="TPU-native transient NS solver")
+    p.add_argument("--msh", help="Gmsh 2.2 mesh file")
+    p.add_argument("--matrix-id", type=int,
+                   help="synthetic scaling-series mesh 1-10")
+    p.add_argument("--nx", type=int, help="custom channel mesh nx")
+    p.add_argument("--ny", type=int, default=None)
+    p.add_argument("--nz", type=int, default=None)
+    p.add_argument("--obstacle", action="store_true")
+    p.add_argument("--re", type=float, default=300.0)
+    p.add_argument("--dt", type=float, default=1e-3)
+    p.add_argument("--t-final", type=float, default=1.0)
+    p.add_argument("--steps", type=int, default=None,
+                   help="override number of steps")
+    p.add_argument("--delta", type=float, default=0.05)
+    p.add_argument("--dtype", default=None,
+                   help="float32 (TPU default) / float64 (CPU default)")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--save", action="store_true")
+    p.add_argument("--save-dir", default="res")
+    p.add_argument("--save-every", type=int, default=1)
+    p.add_argument("--vtu", action="store_true", help="also write .vtu/.pvd")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--devices", type=int, default=0,
+                   help=">1: distributed solver over this many devices")
+    p.add_argument("--profile", action="store_true",
+                   help="print an event-log report at the end")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    backend = jax.default_backend()
+    dtype = args.dtype or ("float64" if backend == "cpu" else "float32")
+    if dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from navierstokes_tpu.config import NewtonConfig, NSConfig, SolverConfig
+    from navierstokes_tpu.mesh.box import channel_mesh, scaling_series_mesh
+    from navierstokes_tpu.mesh.gmsh import read_gmsh
+    from navierstokes_tpu.model import NavierStokesSolver
+    from navierstokes_tpu.utils.profiling import event_log
+
+    if args.msh:
+        mesh = read_gmsh(args.msh)
+    elif args.matrix_id:
+        mesh = scaling_series_mesh(args.matrix_id)
+    elif args.nx:
+        mesh = channel_mesh(
+            args.nx, args.ny or args.nx // 2, args.nz or args.ny or args.nx // 2,
+            obstacle=args.obstacle,
+        )
+    else:
+        p.error("one of --msh / --matrix-id / --nx required")
+
+    if dtype == "float32":
+        newton = NewtonConfig(rtol=1e-4, atol=1e-5, stol=1e-6, du_tol=1e-3)
+        krylov = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
+                              neumann_order=1)
+        stokes = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
+                              neumann_order=1)
+    else:
+        newton = NewtonConfig()
+        krylov = SolverConfig()
+        stokes = SolverConfig(rtol=1e-12, atol=1e-12, maxiter=2000)
+
+    cfg = NSConfig(
+        dt=args.dt, t_final=args.t_final, reynolds=args.re, delta=args.delta,
+        dtype=dtype, newton=newton, krylov=krylov, stokes_krylov=stokes,
+    )
+    n_steps = args.steps if args.steps is not None else cfg.n_steps
+
+    print(f"Matrix size : {4 * mesh.nv}")
+    print(f"backend={backend} dtype={dtype} nodes={mesh.nv} tets={mesh.ne}")
+
+    if args.devices > 1:
+        from navierstokes_tpu.parallel import DistributedNavierStokesSolver
+
+        solver, _ = DistributedNavierStokesSolver.from_mesh(
+            mesh, cfg, devices=jax.devices()[: args.devices]
+        )
+    else:
+        with event_log.event("setup"):
+            solver = NavierStokesSolver(mesh, cfg)
+
+    u0 = None
+    start_step = 0
+    if args.resume:
+        from navierstokes_tpu.io.checkpoint import load_checkpoint
+
+        start_step, u, u_old, delta_u = load_checkpoint(args.resume, cfg=cfg)
+        print(f"resumed from step {start_step}")
+        u0 = jnp.asarray(u)
+    else:
+        print("Solving Stokes system...")
+        with event_log.event("stokes_init"):
+            u0 = solver.stokes_init()
+            u0.block_until_ready()
+
+    t0 = time.time()
+    with event_log.event("time_loop"):
+        u = solver.run(
+            max(n_steps - start_step, 0),
+            u0=u0,
+            save_dir=args.save_dir if args.save else None,
+            save_every=args.save_every if args.save else 0,
+            write_vtu_files=args.vtu,
+            monitor=True,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
+        )
+    print(f"Total time: {time.time() - t0:.6f} seconds")
+    if args.profile:
+        print(event_log.report())
+    return u
+
+
+if __name__ == "__main__":
+    main()

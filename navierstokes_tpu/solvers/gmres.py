@@ -83,15 +83,16 @@ def gmres(
             V, R, cs, sn, g, k, _ = istate
             w = M(matvec(V[k]))
 
-            # Modified Gram-Schmidt against v_0..v_k
-            def mgs(i, carry):
-                w, h = carry
-                proj = jnp.where(i <= k, jnp.dot(V[i], w), 0.0)
-                return w - proj * V[i], h.at[i].set(proj)
-
-            w, h = jax.lax.fori_loop(
-                0, m, mgs, (w, jnp.zeros(m + 1, dtype=dtype))
-            )
+            # CGS2 (classical Gram-Schmidt, twice) against v_0..v_k: each
+            # pass is two fused GEMVs over the whole basis instead of a
+            # sequential chain of m dots/axpys — the TPU-friendly
+            # orthogonalization (rows > k of V are zero, mask for safety).
+            active = (jnp.arange(m + 1) <= k).astype(dtype)
+            h1 = (V @ w) * active
+            w = w - V.T @ h1
+            h2 = (V @ w) * active
+            w = w - V.T @ h2
+            h = h1 + h2
             hk1 = jnp.linalg.norm(w)
             h = h.at[m].set(0.0)
             V_next = V.at[k + 1].set(w / jnp.where(hk1 > 0, hk1, 1.0))

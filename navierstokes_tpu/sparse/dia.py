@@ -67,6 +67,10 @@ class DIAPattern:
     ndof: int
     flat_map: np.ndarray         # (nnzb*16,) int: k*ndof + scalar_row
     nnz: int
+    # Static plan for block-row scaling S = D^{-1} A (see scale_rows_dia):
+    # scaled_offsets[k'] collects terms (e, k) with offsets[k] + e == target.
+    scaled_offsets: tuple = ()
+    scaled_terms: tuple = ()     # tuple of tuples of (e, k)
 
     @property
     def K(self) -> int:
@@ -88,11 +92,30 @@ def build_dia_pattern(indptr: np.ndarray, indices: np.ndarray) -> DIAPattern:
     scalar_row = 4 * rows[:, None, None] + np.arange(4)[None, :, None]
     flat_map = (k_of * ndof + scalar_row).reshape(-1)
 
+    # Static plan for S = D^{-1} A: result diagonal d' = e + d for e in
+    # [-3, 3], d in offsets.
+    off_list = [int(d) for d in offsets]
+    off_set = set(off_list)
+    targets = sorted({d + ee for d in off_list for ee in range(-3, 4)})
+    terms = []
+    kept_targets = []
+    for t in targets:
+        tt = tuple(
+            (ee, off_list.index(t - ee))
+            for ee in range(-3, 4)
+            if (t - ee) in off_set
+        )
+        if tt:
+            kept_targets.append(t)
+            terms.append(tt)
+
     return DIAPattern(
-        offsets=tuple(int(d) for d in offsets),
+        offsets=tuple(off_list),
         ndof=ndof,
         flat_map=flat_map.astype(np.int64),
         nnz=len(rows) * 16,
+        scaled_offsets=tuple(kept_targets),
+        scaled_terms=tuple(terms),
     )
 
 
@@ -113,6 +136,37 @@ def dia_from_bcsr(m: BCSR4) -> ScalarDIA:
         data=dia_values_from_bcsr_values(pattern, m.values),
         nnz=pattern.nnz,
     )
+
+
+def _shift(v, e):
+    """shift(v, e)[i] = v[i + e] (zero fill)."""
+    if e == 0:
+        return v
+    n = v.shape[0]
+    return jax.lax.dynamic_slice(jnp.pad(v, (4, 4)), (4 + e,), (n,))
+
+
+def scale_rows_dia(pattern: DIAPattern, data, inv_blocks):
+    """S = D^{-1} A in DIA form (jittable).
+
+    Folds the block-Jacobi preconditioner INTO the operator so every
+    left-preconditioned GMRES iteration costs exactly one DIA SpMV instead of
+    matvec + preconditioner applies.  inv_blocks: (nb, 4, 4) inverted diagonal
+    blocks.  Uses the static (scaled_offsets, scaled_terms) plan:
+
+        S_data[t][i] = sum_e  Dinv[i, i+e] * data[k_{t-e}][i + e]
+
+    Returns (scaled_offsets, scaled_data) with scaled_data (K', ndof).
+    """
+    invd = block_diag_to_dia(inv_blocks).data          # (7, ndof), e = k-3
+    out = []
+    for terms in pattern.scaled_terms:
+        acc = None
+        for e, k in terms:
+            term = invd[e + 3] * _shift(data[k], e)
+            acc = term if acc is None else acc + term
+        out.append(acc)
+    return pattern.scaled_offsets, jnp.stack(out)
 
 
 def block_diag_to_dia(blocks: jnp.ndarray) -> ScalarDIA:

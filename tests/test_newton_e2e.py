@@ -201,6 +201,46 @@ def test_newton_converges_and_reports(problem):
         assert valid[-1] < valid[0]
 
 
+def test_exact_and_reference_jacobian_agree(problem):
+    """Both Jacobian modes converge to the same state (the residual's root);
+    'exact' needs far fewer Newton iterations."""
+    import dataclasses
+
+    mesh = problem
+    cfg_exact = dataclasses.replace(CFG, jacobian="exact")
+    cfg_ref = dataclasses.replace(CFG, jacobian="reference")
+    s_e = NavierStokesSolver(mesh, cfg_exact)
+    s_r = NavierStokesSolver(mesh, cfg_ref)
+    u0 = s_e.stokes_init()
+
+    u_e, _, st_e = s_e.step(u0, u0, jnp.zeros_like(u0))
+    u_r, _, st_r = s_r.step(u0, u0, jnp.zeros_like(u0))
+    assert bool(st_e.converged) and bool(st_r.converged)
+    assert int(st_e.iters) <= int(st_r.iters)
+    err = np.linalg.norm(np.asarray(u_e) - np.asarray(u_r)) / np.linalg.norm(
+        np.asarray(u_r)
+    )
+    assert err < 1e-8, f"mode disagreement {err}"
+
+
+def test_residual_modes_agree(problem):
+    """Operator-form residual == elementwise residual to roundoff."""
+    import dataclasses
+
+    mesh = problem
+    cfg_op = dataclasses.replace(CFG, residual="operator")
+    cfg_el = dataclasses.replace(CFG, residual="elementwise")
+    s_op = NavierStokesSolver(mesh, cfg_op)
+    s_el = NavierStokesSolver(mesh, cfg_el)
+    u0 = s_op.stokes_init()
+    u_op, _, _ = s_op.step(u0, u0, jnp.zeros_like(u0))
+    u_el, _, _ = s_el.step(u0, u0, jnp.zeros_like(u0))
+    err = np.linalg.norm(np.asarray(u_op) - np.asarray(u_el)) / np.linalg.norm(
+        np.asarray(u_el)
+    )
+    assert err < 1e-10, f"residual-mode disagreement {err}"
+
+
 def test_save_outputs(problem, tmp_path):
     from navierstokes_tpu.io.dat import read_petsc_vec
 
