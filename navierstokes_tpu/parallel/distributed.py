@@ -1,14 +1,16 @@
 """Multi-chip Navier–Stokes solver: domain decomposition over a device mesh.
 
 Extends the single-chip `NavierStokesSolver` by routing every Krylov matvec
-through the row-partitioned halo-exchange SpMV (`parallel.partitioned`).
-Vectors inside the linear solves are padded to `n_devices * L` rows and
-sharded over the mesh axis; dots/norms inside GMRES are partitioned by XLA
-into local reductions + psum.  Assembly stays in the global view (XLA SPMD
-shards the element loop automatically).
+through the partitioned scalar-DIA SpMV (`parallel.partitioned`): vectors are
+padded and row-sharded over the mesh axis, each matvec does one bidirectional
+`ppermute` halo exchange of max|offset| boundary scalars, and the GMRES
+dots/norms on the sharded vectors are partitioned by XLA into local
+reductions + psum.  Both the per-iteration ("reference" Jacobian) and the
+precomputed ("exact") solve paths inherit this automatically through
+`_solve_prepared`.
 
-The mesh must be band-ordered (RCM) so that the block bandwidth fits the
-per-device halo — `from_mesh` handles ordering and validates the fit.
+The mesh must be band-ordered (RCM) so the scalar bandwidth fits in a
+per-device chunk — `from_mesh` handles ordering and validates the fit.
 """
 
 from __future__ import annotations
@@ -24,15 +26,7 @@ from navierstokes_tpu.config import NSConfig
 from navierstokes_tpu.mesh.core import Mesh
 from navierstokes_tpu.mesh.ordering import best_ordering, reorder_mesh
 from navierstokes_tpu.model.navier_stokes import NavierStokesSolver
-from navierstokes_tpu.ops.block import block4_apply, block4_inverse
-from navierstokes_tpu.parallel.partitioned import (
-    RowPartition,
-    build_row_partition,
-    pad_ell_values,
-    pad_vector,
-    partitioned_spmv,
-    unpad_vector,
-)
+from navierstokes_tpu.parallel.partitioned import partitioned_spmv_dia
 from navierstokes_tpu.solvers.gmres import GMRESResult, gmres
 
 
@@ -46,14 +40,20 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
         axis: str = "x",
     ):
         devices = list(devices if devices is not None else jax.devices())
-        super().__init__(mesh, cfg)
         self.axis = axis
+        self.n_devices = len(devices)
         self.device_mesh = DeviceMesh(np.array(devices), (axis,))
-        self.partition: RowPartition = build_row_partition(
-            self.disc.ell_indices, len(devices)
-        )
-        self._delta_idx = jnp.asarray(self.partition.delta_indices)
-        self._row_sharding = NamedSharding(self.device_mesh, P(axis))
+        super().__init__(mesh, cfg)
+
+        # Validate the band fits: scalar halo <= rows per device.
+        halo = max(abs(d) for d in self.disc.dia_pattern.scaled_offsets)
+        n = self.disc.ndof
+        L = -(-n // self.n_devices)
+        if halo > L:
+            raise ValueError(
+                f"scalar bandwidth {halo} exceeds rows-per-device {L}; "
+                "reduce device count or refine/reorder the mesh"
+            )
 
     @classmethod
     def from_mesh(cls, mesh: Mesh, cfg=None, *, devices=None, axis="x"):
@@ -61,50 +61,49 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
         perm = best_ordering(mesh)
         return cls(reorder_mesh(mesh, perm), cfg, devices=devices, axis=axis), perm
 
-    def _linear_solve(self, bcsr_values, rhs, solver_cfg):
-        part = self.partition
-        ell_values = pad_ell_values(part, self._ell_values(bcsr_values))
-        b = pad_vector(part, rhs)
-        b = jax.lax.with_sharding_constraint(
-            b.reshape(part.nb_pad, 4), self._row_sharding
-        ).reshape(-1)
+    def _pad_n(self, halo: int) -> int:
+        n = self.disc.ndof
+        P_ = self.n_devices
+        L = max(-(-n // P_), halo)
+        return P_ * L
+
+    def _solve_prepared(self, prep, rhs, solver_cfg):
+        s_offsets, s_data, invd_offsets, invd_data = prep
+        halo = max(max(abs(d) for d in s_offsets), 1)
+        n = self.disc.ndof
+        n_pad = self._pad_n(halo)
+        pad = n_pad - n
+
+        s_data_p = jnp.pad(s_data, ((0, 0), (0, pad)))
+        invd_p = jnp.pad(invd_data, ((0, 0), (0, pad)))
+        b = jnp.pad(rhs, (0, pad))
+        order = self.cfg.krylov.neumann_order
+        dmesh, ax, ndev = self.device_mesh, self.axis, self.n_devices
+
+        def apply_S(x):
+            return partitioned_spmv_dia(dmesh, ax, s_offsets, s_data_p, x, ndev)
+
+        def apply_Dinv(x):
+            return partitioned_spmv_dia(dmesh, ax, invd_offsets, invd_p, x, ndev)
+
+        def neumann(r):
+            acc = r
+            cur = r
+            for _ in range(order):
+                cur = cur - apply_S(cur)
+                acc = acc + cur
+            return acc
 
         def matvec(x):
-            return partitioned_spmv(
-                part, self.device_mesh, self.axis, self._delta_idx,
-                ell_values, x,
-            )
+            return neumann(apply_S(x))
 
-        # Block-Jacobi on the padded diagonal (identity blocks in pad rows).
-        inv_diag = block4_inverse(
-            bcsr_values[self.disc.diag_slots], pivot_eps=1e-300, shift=1e-8
-        )
-        n_pad = part.nb_pad - part.nb
-        if n_pad:
-            eye = jnp.broadcast_to(
-                jnp.eye(4, dtype=inv_diag.dtype), (n_pad, 4, 4)
-            )
-            inv_diag = jnp.concatenate([inv_diag, eye], axis=0)
-        order = self.cfg.krylov.neumann_order
-
-        def pc(r):
-            z = block4_apply(inv_diag, r)
-            for _ in range(order):
-                z = z + block4_apply(inv_diag, r - matvec(z))
-            return z
-
+        b_eff = neumann(apply_Dinv(b))
         res = gmres(
-            matvec, b, precond=pc, restart=solver_cfg.restart,
+            matvec, b_eff, restart=solver_cfg.restart,
             rtol=solver_cfg.rtol, atol=solver_cfg.atol,
             maxiter=solver_cfg.maxiter,
         )
         return GMRESResult(
-            x=unpad_vector(part, res.x),
-            iters=res.iters,
-            resnorm=res.resnorm,
+            x=res.x[:n], iters=res.iters, resnorm=res.resnorm,
             converged=res.converged,
         )
-
-    def _exact_solve(self, rhs, solver_cfg):
-        """Exact-Jacobian mode routed through the partitioned matvec."""
-        return self._linear_solve(self._jlin_bc_values, rhs, solver_cfg)

@@ -150,6 +150,44 @@ def partitioned_spmv(
     return y4.reshape(-1)
 
 
+def partitioned_spmv_dia(
+    mesh: Mesh,
+    axis: str,
+    offsets: tuple,
+    data: jnp.ndarray,     # (K, n_pad) scalar-DIA data, zero-padded columns
+    x: jnp.ndarray,        # (n_pad,)
+    n_devices: int,
+) -> jnp.ndarray:
+    """Scalar-DIA SpMV over a device mesh: one bidirectional halo exchange of
+    max|offset| boundary scalars, then the same unrolled shifted multiply-adds
+    as the single-chip fast path (`ops.spmv.spmv_dia`) on each local chunk.
+
+    Requires n_pad % n_devices == 0 and halo <= rows-per-device.  Padding
+    rows must carry zero data columns (they then stay identically zero).
+    """
+    n_pad = data.shape[1]
+    if n_pad % n_devices:
+        raise ValueError("n_pad must divide evenly across devices")
+    L = n_pad // n_devices
+    h = max(max(abs(d) for d in offsets), 1)
+    if h > L:
+        raise ValueError(f"scalar halo {h} exceeds rows-per-device {L}")
+
+    def body(data_loc, x_loc):
+        xw = _exchange(x_loc, h, axis, n_devices)       # (L + 2h,)
+        y = jnp.zeros(L, x_loc.dtype)
+        for k, d in enumerate(offsets):
+            y = y + data_loc[k] * jax.lax.dynamic_slice(xw, (h + d,), (L,))
+        return y
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis)),
+        out_specs=P(axis),
+    )(data, x)
+
+
 def partitioned_spmv_power(
     part: RowPartition,
     mesh: Mesh,
