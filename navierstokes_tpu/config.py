@@ -30,6 +30,12 @@ class SolverConfig:
     maxiter: int = 2000
     preconditioner: str = "block_jacobi"  # "block_jacobi" | "ilu0" | "none"
     neumann_order: int = 2      # Neumann-series boost of block-Jacobi (0 = plain)
+    matvec_dtype: Optional[str] = None  # e.g. "bfloat16": store the scaled
+                                    # operator in low precision (halves SpMV
+                                    # HBM traffic; Krylov vectors stay in the
+                                    # run dtype). Only sensible when rtol is
+                                    # well above bf16 epsilon (~8e-3 per op,
+                                    # GMRES tolerates inexact matvecs).
 
 
 @dataclasses.dataclass(frozen=True)

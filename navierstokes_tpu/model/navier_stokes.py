@@ -164,6 +164,9 @@ class NavierStokesSolver:
         )
         s_offsets, s_data = scale_rows_dia(d.dia_pattern, dia_data, inv_diag)
         invd = block_diag_to_dia(inv_diag)
+        mv_dtype = self.cfg.krylov.matvec_dtype
+        if mv_dtype is not None:
+            s_data = s_data.astype(jnp.dtype(mv_dtype))
         return (s_offsets, s_data, invd.offsets, invd.data)
 
     def _solve_prepared(self, prep, rhs, solver_cfg):

@@ -241,6 +241,39 @@ def test_residual_modes_agree(problem):
     assert err < 1e-10, f"residual-mode disagreement {err}"
 
 
+def test_bf16_matvec_mode(problem):
+    """bfloat16 operator storage converges at loose tolerances and lands
+    near the full-precision solution."""
+    import dataclasses
+
+    mesh = problem
+    cfg32 = dataclasses.replace(
+        CFG,
+        dtype="float32",
+        krylov=SolverConfig(rtol=1e-4, atol=1e-5, maxiter=3000,
+                            neumann_order=1),
+        stokes_krylov=SolverConfig(rtol=1e-4, atol=1e-5, maxiter=3000,
+                                   neumann_order=1),
+        newton=NewtonConfig(rtol=1e-3, atol=1e-4, du_tol=float("inf")),
+    )
+    cfg16 = dataclasses.replace(
+        cfg32,
+        krylov=dataclasses.replace(cfg32.krylov, matvec_dtype="bfloat16"),
+        stokes_krylov=dataclasses.replace(cfg32.stokes_krylov,
+                                          matvec_dtype="bfloat16"),
+    )
+    s32 = NavierStokesSolver(mesh, cfg32)
+    s16 = NavierStokesSolver(mesh, cfg16)
+    u0 = s32.stokes_init()
+    u32, _, st32 = s32.step(u0, u0, jnp.zeros_like(u0))
+    u16, _, st16 = s16.step(u0, u0, jnp.zeros_like(u0))
+    assert bool(st32.converged) and bool(st16.converged)
+    rel = np.linalg.norm(np.asarray(u16) - np.asarray(u32)) / np.linalg.norm(
+        np.asarray(u32)
+    )
+    assert rel < 5e-2, f"bf16 solution drift {rel}"
+
+
 def test_save_outputs(problem, tmp_path):
     from navierstokes_tpu.io.dat import read_petsc_vec
 
