@@ -368,9 +368,11 @@ class NavierStokesSolver:
             if checkpoint_path and checkpoint_every and step % checkpoint_every == 0:
                 from navierstokes_tpu.io.checkpoint import save_checkpoint
 
+                # A checkpoint at the END of step N stores the state the
+                # next step starts from: u_old becomes u.
                 save_checkpoint(
                     checkpoint_path, cfg=cfg, step=step, u=np.asarray(u),
-                    u_old=np.asarray(u_old), delta_u=np.asarray(delta_u),
+                    u_old=np.asarray(u), delta_u=np.asarray(delta_u),
                 )
             u_old = u
 

@@ -52,20 +52,67 @@ class BlockJacobiPreconditioner:
         return acc
 
 
-class ILU0Preconditioner:
-    """Block ILU(0) on the BCSR4 pattern — host-side numpy correctness oracle.
+def _ilu_symbolic_fill(indptr, indices, nb, level):
+    """Level-of-fill symbolic ILU(k) pattern on the block graph.
 
-    Factorization: standard IKJ block algorithm restricted to the pattern;
-    diagonal blocks stored inverted (like PETSc's factored BAIJ).  Solves are
-    sequential forward/backward block substitutions — intentionally NOT a
-    device kernel (see module docstring).
+    Standard algorithm: original entries have level 0; a fill entry (i, j)
+    created through pivot column c gets level lev(i,c) + lev(c,j) + 1 and is
+    kept iff <= `level`.  Returns a new (indptr, indices) with fill included.
+    The PETSc `PCFactorSetLevels` analog (`src/solve_newton.c:1162`).
+    """
+    rows = []
+    for i in range(nb):
+        rows.append({int(indices[s]): 0 for s in range(indptr[i], indptr[i + 1])})
+    for i in range(nb):
+        row = rows[i]
+        cols_lower = sorted(c for c in row if c < i)
+        for c in cols_lower:
+            lev_ic = row[c]
+            if lev_ic > level:
+                continue
+            for j, lev_cj in rows[c].items():
+                if j <= c:
+                    continue
+                lev = lev_ic + lev_cj + 1
+                if lev <= level and (j not in row or row[j] > lev):
+                    row[j] = min(row.get(j, lev), lev)
+        rows[i] = {c: l for c, l in row.items() if l <= level}
+    new_indptr = np.zeros(nb + 1, dtype=np.int64)
+    new_indices = []
+    for i in range(nb):
+        cols = sorted(rows[i])
+        new_indices.extend(cols)
+        new_indptr[i + 1] = new_indptr[i] + len(cols)
+    return new_indptr, np.asarray(new_indices, dtype=np.int64)
+
+
+class ILU0Preconditioner:
+    """Block ILU(k) on the BCSR4 pattern — host-side numpy correctness oracle.
+
+    Factorization: standard IKJ block algorithm on the level-k fill pattern
+    (level=0 reproduces ILU(0)); diagonal blocks stored inverted (like
+    PETSc's factored BAIJ).  Solves are sequential forward/backward block
+    substitutions — intentionally NOT a device kernel (see module docstring).
     """
 
-    def __init__(self, m: BCSR4):
-        self.indptr = m.indptr
-        self.indices = m.indices
+    def __init__(self, m: BCSR4, level: int = 0):
         nb = m.nb
-        vals = np.array(np.asarray(m.values), dtype=np.float64)
+        if level > 0:
+            indptr, indices = _ilu_symbolic_fill(m.indptr, m.indices, nb, level)
+            # Scatter original values into the expanded pattern.
+            vals = np.zeros((len(indices), 4, 4), dtype=np.float64)
+            src = np.asarray(m.values)
+            for i in range(nb):
+                lo, hi = indptr[i], indptr[i + 1]
+                row_cols = indices[lo:hi]
+                for s in range(m.indptr[i], m.indptr[i + 1]):
+                    pos = lo + np.searchsorted(row_cols, m.indices[s])
+                    vals[pos] = src[s]
+            self.indptr, self.indices = indptr, indices
+        else:
+            self.indptr = m.indptr
+            self.indices = m.indices
+            vals = np.array(np.asarray(m.values), dtype=np.float64)
         indptr, indices = self.indptr, self.indices
 
         # slot lookup per row: dict col -> slot
@@ -135,7 +182,13 @@ class ILU0Preconditioner:
         )
 
 
-def make_preconditioner(kind: str, m: BCSR4, diag_slots, matvec=None, order=0):
+# ILU with levels is the same class; keep the historical name as an alias.
+ILUPreconditioner = ILU0Preconditioner
+
+
+def make_preconditioner(
+    kind: str, m: BCSR4, diag_slots, matvec=None, order=0, level=0
+):
     if kind == "none" or kind is None:
         return None
     if kind == "block_jacobi":
@@ -143,5 +196,7 @@ def make_preconditioner(kind: str, m: BCSR4, diag_slots, matvec=None, order=0):
             m, diag_slots, matvec=matvec, order=order
         )
     if kind == "ilu0":
-        return ILU0Preconditioner(m)
+        return ILU0Preconditioner(m, level=0)
+    if kind == "ilu":
+        return ILU0Preconditioner(m, level=level)
     raise ValueError(f"unknown preconditioner {kind!r}")
