@@ -28,8 +28,14 @@ class SolverConfig:
     rtol: float = 1e-10
     atol: float = 1e-12
     maxiter: int = 2000
-    preconditioner: str = "block_jacobi"  # "block_jacobi" | "ilu0" | "none"
+    preconditioner: str = "block_jacobi"  # "block_jacobi" | "two_level" |
+                                          # "ilu0" | "none"
     neumann_order: int = 2      # Neumann-series boost of block-Jacobi (0 = plain)
+                                # NOTE: the Neumann series need not converge on
+                                # the indefinite saddle-point system (odd orders
+                                # can diverge); prefer "two_level" for strength
+    coarse_agg: int = 64        # nodes per aggregate (two_level)
+    coarse_shift: float = 1e-6  # diagonal shift on the coarse operator
     matvec_dtype: Optional[str] = None  # e.g. "bfloat16": store the scaled
                                     # operator in low precision (halves SpMV
                                     # HBM traffic; Krylov vectors stay in the

@@ -145,10 +145,12 @@ class NavierStokesSolver:
         )
 
     def _prepare_operator(self, bcsr_values):
-        """BC-applied BCSR values -> pre-scaled DIA operator S = D^{-1} A
-        plus D^{-1} (see sparse/dia.py).  Folding block-Jacobi into the
-        operator makes each left-preconditioned GMRES iteration exactly one
-        SpMV."""
+        """BC-applied BCSR values -> prepared (operator, preconditioner).
+
+        block_jacobi: S = D^{-1} A pre-scaled in DIA form (each GMRES
+        iteration is exactly one SpMV); two_level: unscaled DIA operator +
+        7-diagonal D^{-1} + dense coarse-grid inverse (see solvers/coarse).
+        """
         from navierstokes_tpu.sparse.dia import (
             block_diag_to_dia,
             dia_values_from_bcsr_values,
@@ -156,41 +158,83 @@ class NavierStokesSolver:
         )
 
         d = self.disc
+        cfgk = self.cfg.krylov
         dia_data = dia_values_from_bcsr_values(
             d.dia_pattern, bcsr_values, flat_map_dev=d.dia_flat_map
         )
         inv_diag = block4_inverse(
             bcsr_values[d.diag_slots], pivot_eps=1e-300, shift=1e-8
         )
-        s_offsets, s_data = scale_rows_dia(d.dia_pattern, dia_data, inv_diag)
         invd = block_diag_to_dia(inv_diag)
-        mv_dtype = self.cfg.krylov.matvec_dtype
+        mv_dtype = cfgk.matvec_dtype
+
+        if cfgk.preconditioner == "two_level":
+            from navierstokes_tpu.solvers.coarse import (
+                build_aggregates,
+                coarse_operator_inverse,
+            )
+
+            if not hasattr(self, "_coarse_space"):
+                self._coarse_space = build_aggregates(d.mesh.nv, cfgk.coarse_agg)
+            cs = self._coarse_space
+            ac_inv = coarse_operator_inverse(
+                cs, bcsr_values, d.row_ids, jnp.asarray(d.indices),
+                shift=cfgk.coarse_shift,
+            )
+            if mv_dtype is not None:
+                dia_data = dia_data.astype(jnp.dtype(mv_dtype))
+            return (
+                "tl", d.dia_pattern.offsets, dia_data, invd.offsets,
+                invd.data, ac_inv, cs,
+            )
+
+        s_offsets, s_data = scale_rows_dia(d.dia_pattern, dia_data, inv_diag)
         if mv_dtype is not None:
             s_data = s_data.astype(jnp.dtype(mv_dtype))
-        return (s_offsets, s_data, invd.offsets, invd.data)
+        return ("bj", s_offsets, s_data, invd.offsets, invd.data)
 
     def _solve_prepared(self, prep, rhs, solver_cfg):
-        """Left-preconditioned GMRES on the pre-scaled operator; an optional
-        truncated Neumann series P(S) = sum_i (I-S)^i strengthens the
-        preconditioner at `neumann_order` extra SpMVs per iteration."""
-        s_offsets, s_data, invd_offsets, invd_data = prep
-        order = self.cfg.krylov.neumann_order
+        """Left-preconditioned GMRES on the prepared operator."""
+        if prep[0] == "tl":
+            from navierstokes_tpu.solvers.coarse import prolong, restrict
 
-        def apply_S(x):
-            return spmv_dia(s_offsets, s_data, x)
+            _, a_offsets, a_data, invd_offsets, invd_data, ac_inv, cs = prep
 
-        def neumann(r):
-            acc = r
-            cur = r
-            for _ in range(order):
-                cur = cur - apply_S(cur)
-                acc = acc + cur
-            return acc
+            def apply_A(x):
+                return spmv_dia(a_offsets, a_data, x)
 
-        def matvec(x):
-            return neumann(apply_S(x))
+            def apply_Dinv(r):
+                return spmv_dia(invd_offsets, invd_data, r)
 
-        b_eff = neumann(spmv_dia(invd_offsets, invd_data, rhs))
+            def minv(r):
+                # multiplicative two-grid: coarse correction + Jacobi smooth
+                z = prolong(cs, ac_inv @ restrict(cs, r))
+                return z + apply_Dinv(r - apply_A(z))
+
+            def matvec(x):
+                return minv(apply_A(x))
+
+            b_eff = minv(rhs)
+        else:
+            _, s_offsets, s_data, invd_offsets, invd_data = prep
+            order = self.cfg.krylov.neumann_order
+
+            def apply_S(x):
+                return spmv_dia(s_offsets, s_data, x)
+
+            def neumann(r):
+                acc = r
+                cur = r
+                for _ in range(order):
+                    cur = cur - apply_S(cur)
+                    acc = acc + cur
+                return acc
+
+            def matvec(x):
+                return neumann(apply_S(x))
+
+            b_eff = neumann(spmv_dia(invd_offsets, invd_data, rhs))
+
         return gmres(
             matvec, b_eff, restart=solver_cfg.restart,
             rtol=solver_cfg.rtol, atol=solver_cfg.atol,

@@ -1,0 +1,87 @@
+"""Two-level (coarse-grid corrected) preconditioning.
+
+Block-Jacobi kills only local error; the global (low-frequency) error on a
+121k-DoF channel makes GMRES iterate hundreds of times.  The classic cure is
+a coarse space: aggregate nodes (contiguous index ranges — spatially local
+after band ordering), build the Galerkin coarse operator A_c = R A P with
+piecewise-constant-per-component prolongation, invert it DENSELY once (a few
+thousand DoF — one small MXU-friendly matmul per apply), and combine
+multiplicatively with block-Jacobi:
+
+    z  = P A_c^{-1} R r                      (coarse correction)
+    z += D^{-1} (r - A z)                    (local smoothing)
+
+This is a TPU-first replacement for the reference's ILU(k) strength: the
+sequential triangular solves become one dense (nc x nc) matvec + one SpMV,
+both batched/regular.  No analog exists in the reference (single-level ILU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class CoarseSpace:
+    """Static aggregation data (host + device)."""
+
+    agg_of_node: np.ndarray      # (nb,) aggregate id per node
+    n_agg: int
+    agg_dev: jnp.ndarray         # device copy
+
+    @property
+    def nc(self) -> int:
+        return 4 * self.n_agg
+
+
+def build_aggregates(nb: int, agg_size: int = 64) -> CoarseSpace:
+    """Contiguous index aggregation (band-ordered mesh => spatial blocks)."""
+    agg = (np.arange(nb) // agg_size).astype(np.int32)
+    return CoarseSpace(
+        agg_of_node=agg, n_agg=int(agg[-1]) + 1 if nb else 0,
+        agg_dev=jnp.asarray(agg),
+    )
+
+
+def restrict(cs: CoarseSpace, r):
+    """R r: per-component sum over each aggregate. (ndof,) -> (nc,)."""
+    r4 = r.reshape(-1, 4)
+    return jax.ops.segment_sum(r4, cs.agg_dev, num_segments=cs.n_agg).reshape(-1)
+
+
+def prolong(cs: CoarseSpace, rc):
+    """P rc = R^T rc: inject aggregate values back. (nc,) -> (ndof,)."""
+    return rc.reshape(cs.n_agg, 4)[cs.agg_dev].reshape(-1)
+
+
+def coarse_operator_inverse(
+    cs: CoarseSpace, bcsr_values, row_ids, col_indices, *, shift: float = 0.0
+):
+    """Dense inverse of A_c = R A P (jittable; built once per operator).
+
+    bcsr_values: (nnzb, 4, 4); row_ids/col_indices: (nnzb,) block coords.
+    `shift` regularizes the (possibly singular) coarse pressure block.
+    """
+    nc = cs.nc
+    AI = cs.agg_dev[row_ids]
+    AJ = cs.agg_dev[col_indices]
+    a4 = jnp.arange(4)
+    rows_sc = (4 * AI)[:, None, None] + a4[None, :, None]     # (nnzb, 4, 1)
+    cols_sc = (4 * AJ)[:, None, None] + a4[None, None, :]     # (nnzb, 1, 4)
+    flat_idx = (rows_sc * nc + cols_sc).reshape(-1)
+    Ac = (
+        jnp.zeros(nc * nc, dtype=bcsr_values.dtype)
+        .at[flat_idx]
+        .add(bcsr_values.reshape(-1))
+        .reshape(nc, nc)
+    )
+    if shift:
+        Ac = Ac + shift * jnp.eye(nc, dtype=Ac.dtype)
+    # Dense inverse in float32 can be fragile; invert in f64 off-TPU dtypes
+    # is not available on-chip, so solve against identity via LU (jnp.linalg
+    # uses LAPACK-on-CPU / custom-call-on-TPU, both fine at this size).
+    return jnp.linalg.inv(Ac)
