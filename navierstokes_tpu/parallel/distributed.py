@@ -68,7 +68,12 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
         return P_ * L
 
     def _solve_prepared(self, prep, rhs, solver_cfg):
-        s_offsets, s_data, invd_offsets, invd_data = prep
+        if prep[0] != "bj":
+            raise NotImplementedError(
+                "distributed solver supports the block_jacobi preconditioner; "
+                "two_level lands with a distributed coarse solve"
+            )
+        _, s_offsets, s_data, invd_offsets, invd_data = prep
         halo = max(max(abs(d) for d in s_offsets), 1)
         n = self.disc.ndof
         n_pad = self._pad_n(halo)
