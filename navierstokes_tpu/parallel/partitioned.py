@@ -188,6 +188,65 @@ def partitioned_spmv_dia(
     )(data, x)
 
 
+def partitioned_spmv_dia_power(
+    mesh: Mesh,
+    axis: str,
+    offsets: tuple,
+    data: jnp.ndarray,     # (K, n_pad)
+    x: jnp.ndarray,        # (n_pad,)
+    n_devices: int,
+    k: int,
+    return_all: bool = False,
+):
+    """Communication-avoiding A^j x (j = 1..k) on the scalar-DIA layout:
+    ONE k*h-deep halo exchange of x and a (k-1)*h-deep exchange of the
+    operator columns, then k masked local sweeps.  Own rows stay valid after
+    every sweep, so `return_all=True` yields the full one-exchange s-step
+    Krylov power stack (n_pad, k).  Requires k * h <= rows-per-device.
+    """
+    K, n_pad = data.shape
+    if n_pad % n_devices:
+        raise ValueError("n_pad must divide evenly across devices")
+    L = n_pad // n_devices
+    h = max(max(abs(d) for d in offsets), 1)
+    D = k * h
+    if D > L:
+        raise ValueError(f"k*halo = {D} exceeds rows-per-device {L}")
+    ghost = D - h
+
+    def body(data_loc, x_loc):
+        xw = _exchange(x_loc, D, axis, n_devices)               # (L + 2D,)
+        data_ext = _exchange(data_loc.T, ghost, axis, n_devices).T
+        ext = L + 2 * D
+        inner = ext - 2 * h                                     # rows computed
+        pos = jax.lax.broadcasted_iota(jnp.int32, (ext, 1), 0).squeeze(-1)
+
+        cur = xw
+        own = []
+        for s in range(k):
+            y = jnp.zeros(inner, x_loc.dtype)
+            for kk, d in enumerate(offsets):
+                y = y + data_ext[kk] * jax.lax.dynamic_slice(
+                    cur, (h + d,), (inner,)
+                )
+            y = jnp.pad(y, (h, h))
+            valid = (pos >= (s + 1) * h) & (pos < ext - (s + 1) * h)
+            cur = jnp.where(valid, y, 0.0)
+            if return_all:
+                own.append(cur[D : D + L])
+        if return_all:
+            return jnp.stack(own, axis=-1)                      # (L, k)
+        return cur[D : D + L]
+
+    out_spec = P(axis, None) if return_all else P(axis)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis)),
+        out_specs=out_spec,
+    )(data, x)
+
+
 def partitioned_spmv_power(
     part: RowPartition,
     mesh: Mesh,
@@ -196,6 +255,7 @@ def partitioned_spmv_power(
     values: jnp.ndarray,
     x: jnp.ndarray,
     k: int,
+    return_all: bool = False,
 ) -> jnp.ndarray:
     """Communication-avoiding A^k x: one k*H-deep exchange + k local sweeps.
 
@@ -204,12 +264,16 @@ def partitioned_spmv_power(
     [(s+1)*H, L + 2*D - (s+1)*H), so after k sweeps exactly the own rows
     [D, D + L) remain — all from a single exchange of x and of the D-H deep
     boundary *operator* rows.  Requires k * H <= L.
+
+    return_all=True returns the stacked powers [A x, ..., A^k x] with shape
+    (4*nb_pad, k) — the own rows stay valid after every sweep, which is what
+    makes a one-exchange s-step Krylov basis possible (`solvers/sstep.py`).
     """
     n_dev, H, L = part.n_devices, part.halo, part.rows_per_dev
     D = k * H
     if D > L:
         raise ValueError(f"k*halo = {D} exceeds rows-per-device {L}")
-    if k == 1:
+    if k == 1 and not return_all:
         return partitioned_spmv(part, mesh, axis, delta_indices, values, x)
 
     ghost = D - H  # operator rows needed beyond own (stencil depth H less)
@@ -226,6 +290,7 @@ def partitioned_spmv_power(
         gather_at = jnp.clip(q + H + delta_ext, 0, ext - 1)    # (ext-2H, S)
 
         cur = xw
+        own = []
         for s in range(k):
             g = cur[gather_at]                                  # (ext-2H, S, 4)
             y = jnp.einsum("rsab,rsb->ra", vals_ext, g)
@@ -233,12 +298,19 @@ def partitioned_spmv_power(
             off = jax.lax.broadcasted_iota(jnp.int32, (ext, 1), 0)
             valid = (off >= (s + 1) * H) & (off < ext - (s + 1) * H)
             cur = jnp.where(valid, y, 0.0)
+            if return_all:
+                own.append(cur[D : D + L])
+        if return_all:
+            return jnp.stack(own, axis=-1)                      # (L, 4, k)
         return cur[D : D + L]
 
+    out_spec = P(axis, None, None) if return_all else P(axis, None)
     y4 = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(axis, None), P(axis, None, None, None), P(axis, None)),
-        out_specs=P(axis, None),
+        out_specs=out_spec,
     )(delta_indices, values, x.reshape(part.nb_pad, 4))
+    if return_all:
+        return y4.reshape(4 * part.nb_pad, k)
     return y4.reshape(-1)

@@ -47,12 +47,24 @@ def ca_gmres(
     rtol: float = 1e-10,
     atol: float = 1e-12,
     maxiter: int = 2000,
+    powers_fn: Optional[Callable] = None,
 ) -> GMRESResult:
     """Restarted s-step GMRES with basis length `basis` (= s = m per cycle).
+
+    `powers_fn(v, s) -> (n, s)` optionally supplies the raw power stack
+    [A v, ..., A^s v] in one call — on a device mesh this is the one-deep-
+    halo-exchange `partitioned_spmv_dia_power(..., return_all=True)`, making
+    the whole cycle's SpMV communication a single exchange.  Normalized
+    columns and recurrence coefficients are reconstructed from the raw
+    column norms (v_{i+1} = raw_{i+1}/|raw_{i+1}|, alpha_i =
+    |raw_{i+1}|/|raw_i|).  Only valid with precond=None (fold the
+    preconditioner into the operator first — see model._prepare_operator).
 
     Same call/convergence semantics as `solvers.gmres.gmres`; not jitted here
     for the same closure reasons.
     """
+    if powers_fn is not None and precond is not None:
+        raise ValueError("powers_fn requires the preconditioner folded into A")
     n = b.shape[0]
     dtype = b.dtype
     m = basis
@@ -70,17 +82,26 @@ def ca_gmres(
         r = pre_residual(x)
 
         # 1. Normalized monomial basis + recurrence coefficients.
-        def step(carry, _):
-            v = carry
-            w = M(matvec(v))
-            alpha = jnp.linalg.norm(w)
-            v_next = w / jnp.maximum(alpha, eps_floor)
-            return v_next, (v_next, alpha)
-
         v0norm = jnp.linalg.norm(r)
         v0 = r / jnp.maximum(v0norm, eps_floor)
-        _, (vs, alphas) = jax.lax.scan(step, v0, None, length=m)
-        V = jnp.concatenate([v0[None], vs], axis=0).T          # (n, m+1)
+        if powers_fn is not None:
+            raw = powers_fn(v0, m)                             # (n, m)
+            norms = jnp.linalg.norm(raw, axis=0)               # (m,)
+            safe = jnp.maximum(norms, eps_floor)
+            Vs = raw / safe[None, :]
+            prev = jnp.concatenate([jnp.ones((1,), dtype), norms[:-1]])
+            alphas = norms / jnp.maximum(prev, eps_floor)
+            V = jnp.concatenate([v0[:, None], Vs], axis=1)     # (n, m+1)
+        else:
+            def step(carry, _):
+                v = carry
+                w = M(matvec(v))
+                alpha = jnp.linalg.norm(w)
+                v_next = w / jnp.maximum(alpha, eps_floor)
+                return v_next, (v_next, alpha)
+
+            _, (vs, alphas) = jax.lax.scan(step, v0, None, length=m)
+            V = jnp.concatenate([v0[None], vs], axis=0).T      # (n, m+1)
 
         # 2. Tall-skinny QR.
         Q, R = jnp.linalg.qr(V)                                # (n,m+1),(m+1,m+1)

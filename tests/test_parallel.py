@@ -132,6 +132,96 @@ def test_distributed_solver_matches_single_chip():
     assert err < 1e-8, f"multi-chip vs single-chip relative error {err}"
 
 
+def test_partitioned_dia_spmv_and_powers(device_mesh, banded_operator):
+    """Partitioned scalar-DIA SpMV and one-exchange power stack vs chained."""
+    from navierstokes_tpu.ops.spmv import spmv_dia
+    from navierstokes_tpu.parallel.partitioned import (
+        partitioned_spmv_dia,
+        partitioned_spmv_dia_power,
+    )
+    from navierstokes_tpu.sparse.dia import dia_from_bcsr
+
+    disc, op = banded_operator
+    dia = dia_from_bcsr(op)
+    n = disc.ndof
+    h = dia.halo
+    L = max(-(-n // N_DEV), h)
+    n_pad = N_DEV * L
+    data_p = jnp.pad(dia.data, ((0, 0), (0, n_pad - n)))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(n))
+    xp = jnp.pad(x, (0, n_pad - n))
+
+    y_ref = spmv_dia(dia.offsets, dia.data, x)
+    y = partitioned_spmv_dia(device_mesh, "x", dia.offsets, data_p, xp, N_DEV)
+    np.testing.assert_allclose(np.asarray(y[:n]), np.asarray(y_ref),
+                               rtol=1e-12, atol=1e-12)
+
+    k = min(3, L // h)
+    if k >= 2:
+        stack = partitioned_spmv_dia_power(
+            device_mesh, "x", dia.offsets, data_p, xp, N_DEV, k,
+            return_all=True,
+        )
+        cur = x
+        for j in range(k):
+            cur = spmv_dia(dia.offsets, dia.data, cur)
+            rel = np.linalg.norm(np.asarray(stack[:n, j]) - np.asarray(cur)) / (
+                np.linalg.norm(np.asarray(cur))
+            )
+            assert rel < 1e-12, f"power {j + 1} rel err {rel}"
+
+
+def test_distributed_ca_gmres(device_mesh, banded_operator):
+    """s-step GMRES with the one-exchange power basis solves the system."""
+    from navierstokes_tpu.ops.block import block4_inverse
+    from navierstokes_tpu.ops.spmv import spmv_dia
+    from navierstokes_tpu.parallel.partitioned import (
+        partitioned_spmv_dia,
+        partitioned_spmv_dia_power,
+    )
+    from navierstokes_tpu.solvers.sstep import ca_gmres
+    from navierstokes_tpu.sparse.dia import (
+        block_diag_to_dia,
+        dia_from_bcsr,
+        dia_values_from_bcsr_values,
+        scale_rows_dia,
+    )
+
+    disc, op = banded_operator
+    pat = disc.dia_pattern
+    data = dia_values_from_bcsr_values(pat, op.values,
+                                       flat_map_dev=disc.dia_flat_map)
+    inv = block4_inverse(op.values[disc.diag_slots], pivot_eps=1e-300)
+    s_off, s_data = scale_rows_dia(pat, data, inv)
+    invd = block_diag_to_dia(inv)
+
+    n = disc.ndof
+    h = max(max(abs(d) for d in s_off), 1)
+    basis = 8
+    L = max(-(-n // N_DEV), basis * h)
+    n_pad = N_DEV * L
+    s_data_p = jnp.pad(s_data, ((0, 0), (0, n_pad - n)))
+    b = spmv_dia(invd.offsets, invd.data, disc.bc.value)
+    b_p = jnp.pad(b, (0, n_pad - n))
+
+    def matvec(x):
+        return partitioned_spmv_dia(device_mesh, "x", s_off, s_data_p, x,
+                                    N_DEV)
+
+    def powers_fn(v, s):
+        return partitioned_spmv_dia_power(
+            device_mesh, "x", s_off, s_data_p, v, N_DEV, s, return_all=True
+        )
+
+    res = ca_gmres(matvec, b_p, basis=basis, rtol=1e-10, atol=1e-12,
+                   maxiter=4000, powers_fn=powers_fn)
+    assert bool(res.converged)
+    x_ref = np.linalg.solve(op.to_dense(), np.asarray(disc.bc.value))
+    err = np.linalg.norm(np.asarray(res.x[:n]) - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-6, f"distributed ca-gmres error {err}"
+
+
 def test_partition_rejects_wide_band(device_mesh):
     mesh = channel_mesh(2, 2, 2)  # tiny: bandwidth ~ nv
     disc = build_discretization(mesh, dtype=jnp.float64)
