@@ -83,11 +83,16 @@ def main(argv=None):
         p.error("one of --msh / --matrix-id / --nx required")
 
     if dtype == "float32":
-        newton = NewtonConfig(rtol=1e-4, atol=1e-5, stol=1e-6, du_tol=1e-3)
+        # du_tol=inf: with the linear residual, the |F| criterion alone
+        # determines convergence; the |du| test only adds Newton iterations
+        # whose updates are already below tolerance.  Measured best on one
+        # v5e chip at 121k DoF: ~144 ms/step (newton 2, ~100 GMRES iters).
+        newton = NewtonConfig(rtol=1e-4, atol=1e-5, stol=1e-6,
+                              du_tol=float("inf"))
         krylov = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
-                              neumann_order=1)
+                              neumann_order=2)
         stokes = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
-                              neumann_order=1)
+                              neumann_order=2)
     else:
         newton = NewtonConfig()
         krylov = SolverConfig()

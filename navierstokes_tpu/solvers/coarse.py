@@ -27,35 +27,51 @@ import numpy as np
 
 @dataclasses.dataclass
 class CoarseSpace:
-    """Static aggregation data (host + device)."""
+    """Static aggregation data (host + device).
+
+    Aggregates are CONTIGUOUS equal-size index ranges (band-ordered mesh =>
+    spatial blocks), so restriction/prolongation are pure reshape-reduce /
+    broadcast — no gathers or segment sums on the TPU hot path.
+    """
 
     agg_of_node: np.ndarray      # (nb,) aggregate id per node
     n_agg: int
-    agg_dev: jnp.ndarray         # device copy
+    agg_size: int
+    nb: int
+    agg_dev: jnp.ndarray         # device copy (for the Galerkin scatter)
 
     @property
     def nc(self) -> int:
         return 4 * self.n_agg
 
+    @property
+    def nb_pad(self) -> int:
+        return self.n_agg * self.agg_size
+
 
 def build_aggregates(nb: int, agg_size: int = 64) -> CoarseSpace:
-    """Contiguous index aggregation (band-ordered mesh => spatial blocks)."""
     agg = (np.arange(nb) // agg_size).astype(np.int32)
     return CoarseSpace(
-        agg_of_node=agg, n_agg=int(agg[-1]) + 1 if nb else 0,
+        agg_of_node=agg,
+        n_agg=int(agg[-1]) + 1 if nb else 0,
+        agg_size=agg_size,
+        nb=nb,
         agg_dev=jnp.asarray(agg),
     )
 
 
 def restrict(cs: CoarseSpace, r):
-    """R r: per-component sum over each aggregate. (ndof,) -> (nc,)."""
-    r4 = r.reshape(-1, 4)
-    return jax.ops.segment_sum(r4, cs.agg_dev, num_segments=cs.n_agg).reshape(-1)
+    """R r: per-component sum over each aggregate. (4*nb,) -> (nc,)."""
+    r4 = jnp.pad(r.reshape(-1, 4), ((0, cs.nb_pad - cs.nb), (0, 0)))
+    return r4.reshape(cs.n_agg, cs.agg_size, 4).sum(axis=1).reshape(-1)
 
 
 def prolong(cs: CoarseSpace, rc):
-    """P rc = R^T rc: inject aggregate values back. (nc,) -> (ndof,)."""
-    return rc.reshape(cs.n_agg, 4)[cs.agg_dev].reshape(-1)
+    """P rc = R^T rc: inject aggregate values back. (nc,) -> (4*nb,)."""
+    out = jnp.broadcast_to(
+        rc.reshape(cs.n_agg, 1, 4), (cs.n_agg, cs.agg_size, 4)
+    ).reshape(cs.nb_pad, 4)
+    return out[: cs.nb].reshape(-1)
 
 
 def coarse_operator_inverse(
