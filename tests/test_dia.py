@@ -81,6 +81,24 @@ def test_block_diag_to_dia(fem_op):
     )
 
 
+def test_pallas_dia_kernel_interpret(fem_op):
+    """Pallas DIA kernel (interpret mode on CPU) matches the XLA path."""
+    from navierstokes_tpu.ops.pallas_dia import spmv_dia_pallas
+
+    disc, op = fem_op
+    dia = dia_from_bcsr(op)
+    data32 = dia.data.astype(jnp.float32)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal(disc.ndof), dtype=jnp.float32)
+    y_ref = spmv_dia(dia.offsets, data32, x)
+    for tile in (128, 256):
+        y = spmv_dia_pallas(dia.offsets, data32, x, tile=tile, interpret=True)
+        rel = np.linalg.norm(np.asarray(y) - np.asarray(y_ref)) / (
+            np.linalg.norm(np.asarray(y_ref))
+        )
+        assert rel < 1e-6, f"tile={tile} rel err {rel}"
+
+
 def test_dia_overlapping_scalar_diagonals():
     """Block deltas d1 != d2 can share a scalar diagonal (4*d1+e1 == 4*d2+e2);
     contributions must ADD, not overwrite."""
