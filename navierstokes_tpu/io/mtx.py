@@ -56,6 +56,25 @@ def read_mtx(path: str):
     return nr, rows, cols, vals
 
 
+def save_bcsr_npz(path: str, m: BCSR4) -> None:
+    """Binary matrix save — the PETSc-binary `save_matrix` analog
+    (`src/solve_newton.c:46-51`)."""
+    np.savez_compressed(
+        path, indptr=m.indptr, indices=m.indices, values=np.asarray(m.values)
+    )
+
+
+def load_bcsr_npz(path: str, dtype=None) -> BCSR4:
+    """Binary matrix load — the `MatLoad` analog (`src/main.c:58-68`)."""
+    import jax.numpy as jnp
+
+    with np.load(path) as d:
+        values = jnp.asarray(
+            d["values"] if dtype is None else d["values"].astype(dtype)
+        )
+        return BCSR4(indptr=d["indptr"], indices=d["indices"], values=values)
+
+
 def coo_to_csr(n: int, rows, cols, vals):
     """COO -> CSR with duplicate summation — the `COO2CSR` equivalent
     (`mpk/utils.cpp:97-127`)."""

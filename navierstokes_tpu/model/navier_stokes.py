@@ -374,6 +374,7 @@ class NavierStokesSolver:
         monitor: bool = True,
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 0,
+        check_finite: bool = False,
     ):
         """Full transient run mirroring the reference CLI semantics
         (`-save` => per-step `res/solution_stepNNNN.dat`)."""
@@ -401,6 +402,26 @@ class NavierStokesSolver:
                     f"newton={it} lin={int(stats.lin_iters)} "
                     f"|F|={res_h[max(it - 1, 0)]:.2e} "
                     f"converged={bool(stats.converged)}"
+                )
+                if monitor == "newton":
+                    # Per-iteration lines in the reference monitor format
+                    # (`src/solve_newton.c:1235-1239`).
+                    du_h = np.asarray(stats.du_hist)
+                    for k in range(it):
+                        rel = res_h[k] / max(res_h[0], 1e-300)
+                        tag = "CONVERGED" if (
+                            k == it - 1 and bool(stats.converged)
+                        ) else ""
+                        print(
+                            f"Newton {k:02d}: |F|={res_h[k]:6.2e} "
+                            f"(rel {rel:.1e}), |du|={du_h[k]:6.2e} {tag}"
+                        )
+            if check_finite and not bool(jnp.all(jnp.isfinite(u))):
+                # Failure detection (the `src/main.c:172-179` NaN-abort
+                # analog): stop before writing poisoned state.
+                raise FloatingPointError(
+                    f"non-finite state detected at step {step}; aborting "
+                    "(check dt/Re/tolerances)"
                 )
             if save_dir and save_every and step % save_every == 0:
                 dat = os.path.join(save_dir, f"solution_step{step:04d}.dat")

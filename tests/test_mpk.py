@@ -95,6 +95,41 @@ def test_ca_gmres_solves(system):
     assert err < 1e-6, f"ca-gmres relative error {err}"
 
 
+def test_npz_roundtrip(system, tmp_path):
+    from navierstokes_tpu.io.mtx import load_bcsr_npz, save_bcsr_npz
+
+    disc, op, dia = system
+    path = str(tmp_path / "op.npz")
+    save_bcsr_npz(path, op)
+    back = load_bcsr_npz(path)
+    np.testing.assert_array_equal(back.indptr, op.indptr)
+    np.testing.assert_array_equal(back.indices, op.indices)
+    np.testing.assert_allclose(np.asarray(back.values), np.asarray(op.values))
+
+
+def test_monitor_and_nan_guard(capsys):
+    """Per-iteration Newton monitor + non-finite abort."""
+    import dataclasses
+
+    from navierstokes_tpu.config import NSConfig, SolverConfig
+    from navierstokes_tpu.model import NavierStokesSolver
+
+    cfg = NSConfig(dt=0.01, t_final=0.01, reynolds=50.0, delta=0.1,
+                   dtype="float64",
+                   krylov=SolverConfig(rtol=1e-10, atol=1e-12),
+                   stokes_krylov=SolverConfig(rtol=1e-10, atol=1e-12))
+    mesh = channel_mesh(3, 2, 2)
+    s = NavierStokesSolver(mesh, cfg)
+    s.run(1, monitor="newton", check_finite=True)
+    out = capsys.readouterr().out
+    assert "Newton 00: |F|=" in out
+    assert "CONVERGED" in out
+
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        s.run(1, u0=jnp.full(s.disc.ndof, jnp.nan), monitor=False,
+              check_finite=True)
+
+
 def test_mtx_roundtrip(system, tmp_path):
     from navierstokes_tpu.io.mtx import coo_to_csr, read_mtx, write_mtx
 
