@@ -50,7 +50,7 @@ from navierstokes_tpu.mesh.core import Mesh
 from navierstokes_tpu.ops.block import block4_apply, block4_inverse
 from navierstokes_tpu.ops.spmv import spmv_bell, spmv_dia
 from navierstokes_tpu.sparse.bell import bell_values_from_bcsr_values
-from navierstokes_tpu.solvers.gmres import gmres
+from navierstokes_tpu.solvers.gmres import GMRESResult, gmres
 
 
 class NewtonStats(NamedTuple):
@@ -235,6 +235,27 @@ class NavierStokesSolver:
 
             b_eff = neumann(spmv_dia(invd_offsets, invd_data, rhs))
 
+        if solver_cfg.method == "cg":
+            # For SPD sub-problems routed through the same machinery; the
+            # NS saddle-point system itself is indefinite — use gmres.
+            from navierstokes_tpu.solvers.cg import cg
+
+            res = cg(
+                matvec, b_eff, rtol=solver_cfg.rtol, atol=solver_cfg.atol,
+                maxiter=solver_cfg.maxiter,
+            )
+            return GMRESResult(
+                x=res.x, iters=res.iters, resnorm=res.resnorm,
+                converged=res.converged,
+            )
+        if solver_cfg.method == "ca_gmres":
+            from navierstokes_tpu.solvers.sstep import ca_gmres
+
+            return ca_gmres(
+                matvec, b_eff, basis=min(solver_cfg.restart, 16),
+                rtol=solver_cfg.rtol, atol=solver_cfg.atol,
+                maxiter=solver_cfg.maxiter,
+            )
         return gmres(
             matvec, b_eff, restart=solver_cfg.restart,
             rtol=solver_cfg.rtol, atol=solver_cfg.atol,

@@ -241,6 +241,29 @@ def test_residual_modes_agree(problem):
     assert err < 1e-10, f"residual-mode disagreement {err}"
 
 
+def test_ca_gmres_method_in_model(problem):
+    """method='ca_gmres' reaches the same state as standard GMRES."""
+    import dataclasses
+
+    mesh = problem
+    cfg_ca = dataclasses.replace(
+        CFG,
+        krylov=dataclasses.replace(CFG.krylov, method="ca_gmres", rtol=1e-10),
+        stokes_krylov=dataclasses.replace(CFG.stokes_krylov,
+                                          method="ca_gmres", rtol=1e-10),
+    )
+    s_std = NavierStokesSolver(mesh, CFG)
+    s_ca = NavierStokesSolver(mesh, cfg_ca)
+    u0 = s_std.stokes_init()
+    u_std, _, st1 = s_std.step(u0, u0, jnp.zeros_like(u0))
+    u_ca, _, st2 = s_ca.step(u0, u0, jnp.zeros_like(u0))
+    assert bool(st1.converged) and bool(st2.converged)
+    err = np.linalg.norm(np.asarray(u_ca) - np.asarray(u_std)) / (
+        np.linalg.norm(np.asarray(u_std))
+    )
+    assert err < 1e-6, f"ca_gmres model disagreement {err}"
+
+
 def test_bf16_matvec_mode(problem):
     """bfloat16 operator storage converges at loose tolerances and lands
     near the full-precision solution."""
