@@ -72,19 +72,22 @@ def main():
     mesh = channel_mesh(46, 24, 24, length=4.0, obstacle=True)
     log(f"mesh: {mesh.nv} nodes ({4 * mesh.nv} rows), {mesh.ne} tets")
 
+    from navierstokes_tpu.fem.assembly import assemble_dia_values
+
     disc = build_discretization(mesh, dtype=dtype)
-    op = assemble_operator(
-        disc, jnp.zeros(disc.ndof, dtype), 0.001, 300.0, 0.05, LINEAR_TERMS
-    )
-    nnz = op.nnz
+    pat = disc.dia_pattern
+    nnz = pat.nnz
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal(disc.ndof), dtype=dtype
     )
 
-    # Headline: scalar-DIA fast path (the layout the solver actually uses)
-    pat = disc.dia_pattern
-    dia_data = dia_values_from_bcsr_values(pat, op.values,
-                                           flat_map_dev=disc.dia_flat_map)
+    # Headline: scalar-DIA fast path (the layout the solver actually uses),
+    # assembled directly into the flat layout (scalable path).
+    dummy_UL = jnp.zeros((disc.ne, 3, 4), dtype=dtype)
+    dia_data = assemble_dia_values(
+        disc.tets, disc.vol, disc.grad, disc.h, dummy_UL, 0.001, 300.0, 0.05,
+        disc.dia_elem_map, terms=LINEAR_TERMS, K=pat.K, ndof=disc.ndof,
+    )
     offsets = pat.offsets
     t_dia = fit_time(lambda v: spmv_dia(offsets, dia_data, v), x)
     gflops = 2.0 * nnz / t_dia / 1e9
@@ -92,6 +95,9 @@ def main():
         f"(K={pat.K} diagonals)")
 
     # Secondary: block-ELL gather path (for the record)
+    op = assemble_operator(
+        disc, jnp.zeros(disc.ndof, dtype), 0.001, 300.0, 0.05, LINEAR_TERMS
+    )
     ell = bell_from_bcsr(op)
     idx = jnp.asarray(ell.indices)
     t_ell = fit_time(lambda v: spmv_bell(idx, ell.values, v), x)

@@ -41,21 +41,33 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str):
     dtype = jnp.dtype(dtype_str)
     mesh = scaling_series_mesh(matrix_id)
     disc = build_discretization(mesh, dtype=dtype)
-    op = assemble_operator(
-        disc, jnp.zeros(disc.ndof, dtype), 0.001, 300.0, 0.05, LINEAR_TERMS
-    )
-    nnz = op.nnz
+    pat = disc.dia_pattern
+    nnz = pat.nnz
     print(f"Matrix loaded: {disc.ndof} rows, {nnz} nonzeros", flush=True)
 
-    ell = bell_from_bcsr(op)
-    idx = jnp.asarray(ell.indices)
-    row_ids = jnp.asarray(op.row_ids())
-    bcsr_idx = jnp.asarray(op.indices)
-    pat = disc.dia_pattern
-    dia_data = dia_values_from_bcsr_values(pat, op.values,
-                                           flat_map_dev=disc.dia_flat_map)
+    # DIA-direct assembly scales to the full series (block-form arrays get
+    # tile-padded 32-64x in HBM and OOM beyond ~500k rows).
+    from navierstokes_tpu.fem.assembly import assemble_dia_values
+
+    dummy_UL = jnp.zeros((disc.ne, 3, 4), dtype=dtype)
+    dia_data = assemble_dia_values(
+        disc.tets, disc.vol, disc.grad, disc.h, dummy_UL, 0.001, 300.0, 0.05,
+        disc.dia_elem_map, terms=LINEAR_TERMS, K=pat.K, ndof=disc.ndof,
+    )
     dia_bf16 = dia_data.astype(jnp.bfloat16)
     offsets = pat.offsets
+
+    # Block-format variants only at sizes where their padded layouts fit.
+    with_blocks = disc.ndof <= 200_000
+    if with_blocks:
+        op = assemble_operator(
+            disc, jnp.zeros(disc.ndof, dtype), 0.001, 300.0, 0.05,
+            LINEAR_TERMS,
+        )
+        ell = bell_from_bcsr(op)
+        idx = jnp.asarray(ell.indices)
+        row_ids = jnp.asarray(op.row_ids())
+        bcsr_idx = jnp.asarray(op.indices)
 
     k = {"spmv": 1, "2spmv": 2, "spm2v": 2}[kernel]
     label = {"spmv": "SpMV", "2spmv": "2SpMV", "spm2v": "SpM2V"}[kernel]
@@ -78,13 +90,18 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str):
             y = stepper(y)
         return y
 
-    variants = [
-        ("oracle (segment-sum)",
-         lambda v: matrix_power_like(
-             lambda u: spmv_bcsr_ref(row_ids, bcsr_idx, op.values, u), v, k)),
-        ("block-ELL gather",
-         lambda v: matrix_power_like(
-             lambda u: spmv_bell(idx, ell.values, u), v, k)),
+    variants = []
+    if with_blocks:
+        variants += [
+            ("oracle (segment-sum)",
+             lambda v: matrix_power_like(
+                 lambda u: spmv_bcsr_ref(row_ids, bcsr_idx, op.values, u),
+                 v, k)),
+            ("block-ELL gather",
+             lambda v: matrix_power_like(
+                 lambda u: spmv_bell(idx, ell.values, u), v, k)),
+        ]
+    variants += [
         ("DIA",
          lambda v: matrix_power_like(
              lambda u: spmv_dia(offsets, dia_data, u), v, k)),

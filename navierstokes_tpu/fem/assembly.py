@@ -56,6 +56,8 @@ class Discretization:
     # scalar-DIA pattern (the fast TPU layout — see sparse/dia.py)
     dia_pattern: "DIAPattern"
     dia_flat_map: jnp.ndarray    # (nnzb*16,) device
+    dia_elem_map: jnp.ndarray    # (ne*256,) device: element scalar entry ->
+                                 # flat DIA position (direct assembly path)
     bc: DirichletBC
 
     @property
@@ -109,6 +111,15 @@ def build_discretization(
     from navierstokes_tpu.sparse.dia import build_dia_pattern
 
     dia_pattern = build_dia_pattern(indptr, indices)
+    # Element scalar entry (e, i, j, a, b) -> flat DIA slot, composing the
+    # pair->bcsr-slot and bcsr-entry->dia maps.  Enables assembling straight
+    # into the flat (K*ndof,) layout with ONE 1-D scatter — no (..., 4, 4)
+    # arrays whose minor dims XLA tile-pads 32-64x in HBM.
+    dia_elem_map = (
+        dia_pattern.flat_map.reshape(-1, 16)[slot_of_pair].reshape(-1)
+    )
+    max_flat = dia_pattern.K * dia_pattern.ndof
+    elem_map_dtype = np.int32 if max_flat < 2**31 else np.int64
 
     return Discretization(
         mesh=mesh,
@@ -126,6 +137,7 @@ def build_discretization(
         slot_of_bcsr=jnp.asarray(slot_of_bcsr),
         dia_pattern=dia_pattern,
         dia_flat_map=jnp.asarray(dia_pattern.flat_map),
+        dia_elem_map=jnp.asarray(dia_elem_map.astype(elem_map_dtype)),
         bc=build_dirichlet(mesh, dtype=dtype),
     )
 
@@ -184,6 +196,30 @@ def assemble_bcsr_values(
     blocks = jax.vmap(one)(grad, vol, h, UL)           # (ne, 4, 4, 4, 4)
     flat = blocks.reshape(-1, 4, 4)                    # (ne*16, 4, 4)
     return jax.ops.segment_sum(flat, slot_of_pair, num_segments=nnzb)
+
+
+@partial(jax.jit, static_argnames=("terms", "K", "ndof"))
+def assemble_dia_values(
+    tets, vol, grad, h, UL, dt, reynolds, delta, dia_elem_map, *, terms, K, ndof
+):
+    """Assemble straight into the scalar-DIA layout: (K, ndof).
+
+    Element blocks are flattened to (ne, 256) inside the vmapped function
+    (keeping the minor dim a multiple of 128 — no tile-padding blowup) and
+    scattered with one flat 1-D add.  This is the scalable path: the
+    BCSR-block route materializes (ne, 4, 4, 4, 4) arrays that XLA tile-pads
+    32x in HBM and OOMs beyond ~500k rows.
+    """
+
+    def one(g, v, hh, ul):
+        return el.element_node_blocks(
+            g, v, hh, ul, dt, reynolds, delta, terms=terms
+        ).reshape(256)
+
+    blocks = jax.vmap(one)(grad, vol, h, UL)           # (ne, 256)
+    flat = jnp.zeros(K * ndof, dtype=blocks.dtype)
+    flat = flat.at[dia_elem_map].add(blocks.reshape(-1))
+    return flat.reshape(K, ndof)
 
 
 STOKES_TERMS = frozenset({"diffusion"})

@@ -39,6 +39,7 @@ from navierstokes_tpu.fem.assembly import (
     STOKES_TERMS,
     Discretization,
     assemble_bcsr_values,
+    assemble_dia_values,
     assemble_residual,
     build_discretization,
     local_fields,
@@ -73,40 +74,38 @@ class NavierStokesSolver:
         )
         self.dtype = dtype
 
-        # J_linear values precomputed once (`preassemble_linear_jacobian`,
-        # `src/solve_newton.c:1116-1146`), before BC row zeroing.
-        dummy_UL = jnp.zeros((self.disc.ne, 3, 4), dtype=dtype)
-        self._jlin_values = assemble_bcsr_values(
-            self.disc.tets, self.disc.vol, self.disc.grad, self.disc.h,
-            dummy_UL, self.cfg.dt, self.cfg.reynolds, self.cfg.delta,
-            self.disc.slot_of_pair, terms=LINEAR_TERMS, nnzb=self.disc.nnzb,
-        )
+        from navierstokes_tpu.sparse.dia import zero_rows_dia
 
-        self._jlin_bc_values = self._apply_bc_rows(self._jlin_values)
+        # J_linear precomputed once (`preassemble_linear_jacobian`,
+        # `src/solve_newton.c:1116-1146`), assembled DIRECTLY into the flat
+        # scalar-DIA layout (the scalable path — see assemble_dia_values).
+        dummy_UL = jnp.zeros((self.disc.ne, 3, 4), dtype=dtype)
+        self._jlin_dia = self._assemble_dia(dummy_UL, LINEAR_TERMS)
+        self._jlin_bc_dia = zero_rows_dia(
+            self.disc.dia_pattern.offsets, self._jlin_dia, self.disc.bc.is_bc
+        )
         if self.cfg.jacobian == "exact":
             # The residual's true Jacobian is constant: pre-scale it once.
-            self._exact_prep = self._prepare_operator(self._jlin_bc_values)
+            self._exact_prep = self._prepare_operator_dia(self._jlin_bc_dia)
 
         if self.cfg.residual == "operator":
             # Operator-form residual: F = A_lin u - (M/dt) u_old, both as
             # constant DIA operators (no per-iteration element scatter).
-            from navierstokes_tpu.sparse.dia import dia_values_from_bcsr_values
-
-            d = self.disc
-            self._res_A = dia_values_from_bcsr_values(
-                d.dia_pattern, self._jlin_values, flat_map_dev=d.dia_flat_map
-            )
-            mass_values = assemble_bcsr_values(
-                d.tets, d.vol, d.grad, d.h, dummy_UL, self.cfg.dt,
-                self.cfg.reynolds, self.cfg.delta, d.slot_of_pair,
-                terms=frozenset({"mass_dt_bare"}), nnzb=d.nnzb,
-            )
-            self._res_M = dia_values_from_bcsr_values(
-                d.dia_pattern, mass_values, flat_map_dev=d.dia_flat_map
+            self._res_A = self._jlin_dia
+            self._res_M = self._assemble_dia(
+                dummy_UL, frozenset({"mass_dt_bare"})
             )
 
         self._stokes_jit = jax.jit(self._stokes_solve)
         self._step_jit = jax.jit(self._newton_step)
+
+    def _assemble_dia(self, UL, terms):
+        d = self.disc
+        return assemble_dia_values(
+            d.tets, d.vol, d.grad, d.h, UL, self.cfg.dt, self.cfg.reynolds,
+            self.cfg.delta, d.dia_elem_map, terms=terms,
+            K=d.dia_pattern.K, ndof=d.ndof,
+        )
 
     # -- operator plumbing --------------------------------------------------
 
@@ -144,8 +143,8 @@ class NavierStokesSolver:
             self.disc.diag_slots, self.disc.bc.row_bc,
         )
 
-    def _prepare_operator(self, bcsr_values):
-        """BC-applied BCSR values -> prepared (operator, preconditioner).
+    def _prepare_operator_dia(self, dia_data):
+        """BC-applied DIA data -> prepared (operator, preconditioner).
 
         block_jacobi: S = D^{-1} A pre-scaled in DIA form (each GMRES
         iteration is exactly one SpMV); two_level: unscaled DIA operator +
@@ -153,17 +152,16 @@ class NavierStokesSolver:
         """
         from navierstokes_tpu.sparse.dia import (
             block_diag_to_dia,
-            dia_values_from_bcsr_values,
+            diag_blocks_from_dia,
             scale_rows_dia,
         )
 
         d = self.disc
         cfgk = self.cfg.krylov
-        dia_data = dia_values_from_bcsr_values(
-            d.dia_pattern, bcsr_values, flat_map_dev=d.dia_flat_map
-        )
+        offsets = d.dia_pattern.offsets
         inv_diag = block4_inverse(
-            bcsr_values[d.diag_slots], pivot_eps=1e-300, shift=1e-8
+            diag_blocks_from_dia(offsets, dia_data, d.mesh.nv),
+            pivot_eps=1e-300, shift=1e-8,
         )
         invd = block_diag_to_dia(inv_diag)
         mv_dtype = cfgk.matvec_dtype
@@ -171,27 +169,36 @@ class NavierStokesSolver:
         if cfgk.preconditioner == "two_level":
             from navierstokes_tpu.solvers.coarse import (
                 build_aggregates,
-                coarse_operator_inverse,
+                coarse_operator_inverse_dia,
             )
 
             if not hasattr(self, "_coarse_space"):
                 self._coarse_space = build_aggregates(d.mesh.nv, cfgk.coarse_agg)
             cs = self._coarse_space
-            ac_inv = coarse_operator_inverse(
-                cs, bcsr_values, d.row_ids, jnp.asarray(d.indices),
-                shift=cfgk.coarse_shift,
+            ac_inv = coarse_operator_inverse_dia(
+                cs, offsets, dia_data, shift=cfgk.coarse_shift
             )
             if mv_dtype is not None:
                 dia_data = dia_data.astype(jnp.dtype(mv_dtype))
             return (
-                "tl", d.dia_pattern.offsets, dia_data, invd.offsets,
-                invd.data, ac_inv, cs,
+                "tl", offsets, dia_data, invd.offsets, invd.data, ac_inv, cs,
             )
 
         s_offsets, s_data = scale_rows_dia(d.dia_pattern, dia_data, inv_diag)
         if mv_dtype is not None:
             s_data = s_data.astype(jnp.dtype(mv_dtype))
         return ("bj", s_offsets, s_data, invd.offsets, invd.data)
+
+    def _prepare_operator(self, bcsr_values):
+        """Compatibility wrapper: BC-applied BCSR block values -> prepared
+        operator via the DIA path."""
+        from navierstokes_tpu.sparse.dia import dia_values_from_bcsr_values
+
+        d = self.disc
+        dia_data = dia_values_from_bcsr_values(
+            d.dia_pattern, bcsr_values, flat_map_dev=d.dia_flat_map
+        )
+        return self._prepare_operator_dia(dia_data)
 
     def _solve_prepared(self, prep, rhs, solver_cfg):
         """Left-preconditioned GMRES on the prepared operator."""
@@ -277,16 +284,23 @@ class NavierStokesSolver:
     # -- Stokes initialization ----------------------------------------------
 
     def _stokes_solve(self):
+        from navierstokes_tpu.sparse.dia import zero_rows_dia
+
         d, cfg = self.disc, self.cfg
         dummy_UL = jnp.zeros((d.ne, 3, 4), dtype=self.dtype)
-        values = assemble_bcsr_values(
+        # Stokes uses the small Stokes Reynolds number (`:1038`).
+        stokes_dia = assemble_dia_values(
             d.tets, d.vol, d.grad, d.h, dummy_UL, cfg.dt,
-            cfg.stokes_reynolds, cfg.delta, d.slot_of_pair,
-            terms=STOKES_TERMS, nnzb=d.nnzb,
+            cfg.stokes_reynolds, cfg.delta, d.dia_elem_map,
+            terms=STOKES_TERMS, K=d.dia_pattern.K, ndof=d.ndof,
         )
-        values = self._apply_bc_rows(values)
+        stokes_dia = zero_rows_dia(
+            d.dia_pattern.offsets, stokes_dia, d.bc.is_bc
+        )
         rhs = d.bc.value.astype(self.dtype)
-        res = self._linear_solve(values, rhs, cfg.stokes_krylov)
+        res = self._solve_prepared(
+            self._prepare_operator_dia(stokes_dia), rhs, cfg.stokes_krylov
+        )
         return res.x, res.iters, res.converged
 
     def stokes_init(self):
@@ -302,7 +316,6 @@ class NavierStokesSolver:
         kv = cfg.krylov
         max_newton = nw.max_iter
         dtype = self.dtype
-        jlin = self._jlin_values
 
         offsets = d.dia_pattern.offsets
 
@@ -338,14 +351,17 @@ class NavierStokesSolver:
                 if cfg.jacobian == "exact":
                     sol = self._exact_solve(-F, kv)
                 else:
+                    from navierstokes_tpu.sparse.dia import zero_rows_dia
+
                     UL, _ = local_fields(d.tets, u)
-                    jnl = assemble_bcsr_values(
-                        d.tets, d.vol, d.grad, d.h, UL, cfg.dt, cfg.reynolds,
-                        cfg.delta, d.slot_of_pair,
-                        terms=NONLINEAR_TERMS, nnzb=d.nnzb,
+                    jnl = self._assemble_dia(UL, NONLINEAR_TERMS)
+                    values = zero_rows_dia(
+                        d.dia_pattern.offsets, self._jlin_dia + jnl,
+                        d.bc.is_bc,
                     )
-                    values = self._apply_bc_rows(jlin + jnl)
-                    sol = self._linear_solve(values, -F, kv)
+                    sol = self._solve_prepared(
+                        self._prepare_operator_dia(values), -F, kv
+                    )
                 return u + sol.x, sol.x, lin_total + sol.iters
 
             def skip(operands):

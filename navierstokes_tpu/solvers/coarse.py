@@ -74,6 +74,33 @@ def prolong(cs: CoarseSpace, rc):
     return out[: cs.nb].reshape(-1)
 
 
+def coarse_operator_inverse_dia(
+    cs: CoarseSpace, offsets: tuple, data, *, shift: float = 0.0
+):
+    """Dense inverse of A_c = R A P built from scalar-DIA data (jittable).
+
+    One (ndof,)-sized scatter per diagonal — the scalable path (no
+    block-form arrays)."""
+    K, ndof = data.shape
+    nc = cs.nc
+    agg = cs.agg_size
+    i = jnp.arange(ndof)
+    ic = 4 * ((i // 4) // agg) + (i % 4)
+    ac_flat = jnp.zeros(nc * nc, dtype=data.dtype)
+    for k, d in enumerate(offsets):
+        j = i + d
+        valid = (j >= 0) & (j < ndof)
+        j_cl = jnp.clip(j, 0, ndof - 1)
+        jc = 4 * ((j_cl // 4) // agg) + (j_cl % 4)
+        ac_flat = ac_flat.at[ic * nc + jc].add(
+            jnp.where(valid, data[k], 0.0)
+        )
+    ac = ac_flat.reshape(nc, nc)
+    if shift:
+        ac = ac + shift * jnp.eye(nc, dtype=ac.dtype)
+    return jnp.linalg.inv(ac)
+
+
 def coarse_operator_inverse(
     cs: CoarseSpace, bcsr_values, row_ids, col_indices, *, shift: float = 0.0
 ):

@@ -129,6 +129,37 @@ def dia_values_from_bcsr_values(
     return flat.reshape(pattern.K, pattern.ndof)
 
 
+def zero_rows_dia(offsets: tuple, data, is_bc):
+    """Functional `MatZeroRows(..., 1.0)` directly on DIA data.
+
+    is_bc: (ndof,) bool.  Zeroes constrained scalar rows and sets their
+    diagonal entry to 1 — no block-form detour, no layout-padded arrays.
+    """
+    data = jnp.where(is_bc[None, :], jnp.zeros((), data.dtype), data)
+    k0 = offsets.index(0)
+    data = data.at[k0].set(
+        jnp.where(is_bc, jnp.ones((), data.dtype), data[k0])
+    )
+    return data
+
+
+def diag_blocks_from_dia(offsets: tuple, data, nb: int):
+    """Extract the (nb, 4, 4) block diagonal from DIA data.
+
+    D[r, a, b] lives on scalar diagonal e = b - a at row 4r + a.
+    """
+    out = jnp.zeros((nb, 4, 4), dtype=data.dtype)
+    for e in range(-3, 4):
+        if e not in offsets:
+            continue
+        row = data[offsets.index(e)].reshape(nb, 4)   # [r, a] = (4r+a, +e)
+        for a in range(4):
+            b = a + e
+            if 0 <= b < 4:
+                out = out.at[:, a, b].set(row[:, a])
+    return out
+
+
 def dia_from_bcsr(m: BCSR4) -> ScalarDIA:
     pattern = build_dia_pattern(m.indptr, m.indices)
     return ScalarDIA(
