@@ -198,28 +198,62 @@ def assemble_bcsr_values(
     return jax.ops.segment_sum(flat, slot_of_pair, num_segments=nnzb)
 
 
-@partial(jax.jit, static_argnames=("terms", "K", "ndof"))
+@partial(jax.jit, static_argnames=("terms", "K", "ndof", "chunk"))
 def assemble_dia_values(
-    tets, vol, grad, h, UL, dt, reynolds, delta, dia_elem_map, *, terms, K, ndof
+    tets, vol, grad, h, UL, dt, reynolds, delta, dia_elem_map, *,
+    terms, K, ndof, chunk: int = 16384
 ):
     """Assemble straight into the scalar-DIA layout: (K, ndof).
 
-    Element blocks are flattened to (ne, 256) inside the vmapped function
-    (keeping the minor dim a multiple of 128 — no tile-padding blowup) and
-    scattered with one flat 1-D add.  This is the scalable path: the
-    BCSR-block route materializes (ne, 4, 4, 4, 4) arrays that XLA tile-pads
-    32x in HBM and OOMs beyond ~500k rows.
+    Scalable path: the BCSR-block route materializes (ne, 4, 4, 4, 4)
+    arrays whose minor dims XLA tile-pads to (8, 128) — a 32x HBM inflation
+    that OOMs beyond ~500k rows.  Here elements are processed in fixed-size
+    chunks inside a fori_loop (bounded intermediates regardless of mesh
+    size), each chunk's blocks flattened and scattered with one flat 1-D
+    add through the precomputed element-scalar -> DIA map.
     """
+    ne = vol.shape[0]
+    dtype = vol.dtype
 
     def one(g, v, hh, ul):
         return el.element_node_blocks(
             g, v, hh, ul, dt, reynolds, delta, terms=terms
         ).reshape(256)
 
-    blocks = jax.vmap(one)(grad, vol, h, UL)           # (ne, 256)
-    flat = jnp.zeros(K * ndof, dtype=blocks.dtype)
-    flat = flat.at[dia_elem_map].add(blocks.reshape(-1))
-    return flat.reshape(K, ndof)
+    if ne <= chunk:
+        blocks = jax.vmap(one)(grad, vol, h, UL)           # (ne, 256)
+        flat = jnp.zeros(K * ndof, dtype=dtype)
+        flat = flat.at[dia_elem_map].add(blocks.reshape(-1))
+        return flat.reshape(K, ndof)
+
+    n_chunks = -(-ne // chunk)
+    ne_pad = n_chunks * chunk
+    pad = ne_pad - ne
+    # Zero-geometry padding elements contribute zero blocks; their map
+    # entries target a sacrificial extra slot.
+    grad_p = jnp.pad(grad, ((0, pad), (0, 0), (0, 0)))
+    vol_p = jnp.pad(vol, (0, pad))
+    h_p = jnp.pad(h, (0, pad))
+    UL_p = jnp.pad(UL, ((0, pad), (0, 0), (0, 0)))
+    map_p = jnp.pad(
+        dia_elem_map.reshape(ne, 256), ((0, pad), (0, 0)),
+        constant_values=K * ndof,
+    )
+
+    def body(c, flat):
+        s = c * chunk
+        g = jax.lax.dynamic_slice_in_dim(grad_p, s, chunk)
+        v = jax.lax.dynamic_slice_in_dim(vol_p, s, chunk)
+        hh = jax.lax.dynamic_slice_in_dim(h_p, s, chunk)
+        ul = jax.lax.dynamic_slice_in_dim(UL_p, s, chunk)
+        m = jax.lax.dynamic_slice_in_dim(map_p, s, chunk)
+        blocks = jax.vmap(one)(g, v, hh, ul)               # (chunk, 256)
+        return flat.at[m.reshape(-1)].add(blocks.reshape(-1))
+
+    flat = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros(K * ndof + 1, dtype=dtype)
+    )
+    return flat[:-1].reshape(K, ndof)
 
 
 STOKES_TERMS = frozenset({"diffusion"})
