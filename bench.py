@@ -28,27 +28,12 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def fit_time(step_fn, x0, r1=64, r2=256):
-    """Per-iteration time of a data-dependent chain, overhead-corrected."""
-    import jax
-    import jax.numpy as jnp
+def fit_time(step_fn, x0, operands=(), r1=64, r2=256):
+    """Per-iteration time of a data-dependent chain, overhead-corrected.
+    Operator data flows through `operands` (jit args, not closure constants)."""
+    from navierstokes_tpu.bench.timing import chained_op_time
 
-    def body(_, v):
-        y = step_fn(v)
-        return y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
-
-    chain = jax.jit(lambda v, n: jax.lax.fori_loop(0, n, body, v))
-    float(jnp.sum(chain(x0, 4)))  # compile + warmup
-
-    def measure(n):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(jnp.sum(chain(x0, n)))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    return (measure(r2) - measure(r1)) / (r2 - r1)
+    return chained_op_time(step_fn, x0, operands=operands, r1=r1)
 
 
 def main():
@@ -89,7 +74,8 @@ def main():
         disc.dia_elem_map, terms=LINEAR_TERMS, K=pat.K, ndof=disc.ndof,
     )
     offsets = pat.offsets
-    t_dia = fit_time(lambda v: spmv_dia(offsets, dia_data, v), x)
+    t_dia = fit_time(lambda v, data: spmv_dia(offsets, data, v), x,
+                     operands=(dia_data,))
     gflops = 2.0 * nnz / t_dia / 1e9
     log(f"spmv DIA f32:  {t_dia * 1e6:8.1f} us -> {gflops:7.1f} GFLOP/s "
         f"(K={pat.K} diagonals)")
@@ -100,7 +86,8 @@ def main():
     )
     ell = bell_from_bcsr(op)
     idx = jnp.asarray(ell.indices)
-    t_ell = fit_time(lambda v: spmv_bell(idx, ell.values, v), x)
+    t_ell = fit_time(lambda v, vals: spmv_bell(idx, vals, v), x,
+                     operands=(ell.values,))
     log(f"spmv ELL f32:  {t_ell * 1e6:8.1f} us -> {2 * nnz / t_ell / 1e9:7.1f} GFLOP/s")
 
     log(f"vs reference AVX2 3.457 ms: {3.457e-3 / t_dia:.0f}x faster")

@@ -90,24 +90,28 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str):
             y = stepper(y)
         return y
 
+    # (step_fn(v, *operands), operands) — operator data flows as jit args.
     variants = []
     if with_blocks:
         variants += [
             ("oracle (segment-sum)",
-             lambda v: matrix_power_like(
-                 lambda u: spmv_bcsr_ref(row_ids, bcsr_idx, op.values, u),
-                 v, k)),
+             lambda v, vals: matrix_power_like(
+                 lambda u: spmv_bcsr_ref(row_ids, bcsr_idx, vals, u), v, k),
+             (op.values,)),
             ("block-ELL gather",
-             lambda v: matrix_power_like(
-                 lambda u: spmv_bell(idx, ell.values, u), v, k)),
+             lambda v, vals: matrix_power_like(
+                 lambda u: spmv_bell(idx, vals, u), v, k),
+             (ell.values,)),
         ]
     variants += [
         ("DIA",
-         lambda v: matrix_power_like(
-             lambda u: spmv_dia(offsets, dia_data, u), v, k)),
+         lambda v, data: matrix_power_like(
+             lambda u: spmv_dia(offsets, data, u), v, k),
+         (dia_data,)),
         ("DIA bf16",
-         lambda v: matrix_power_like(
-             lambda u: spmv_dia(offsets, dia_bf16, u).astype(dtype), v, k)),
+         lambda v, data: matrix_power_like(
+             lambda u: spmv_dia(offsets, data, u).astype(dtype), v, k),
+         (dia_bf16,)),
     ]
 
     x = jnp.asarray(
@@ -115,9 +119,9 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str):
     )
     y_ref = None
     t_ref = None
-    for name, fn in variants:
-        y = np.asarray(fn(x))
-        t = chained_op_time(fn, x)
+    for name, fn, operands in variants:
+        y = np.asarray(fn(x, *operands))
+        t = chained_op_time(fn, x, operands=operands)
         us = t * 1e6
         if y_ref is None:
             y_ref = y

@@ -18,27 +18,35 @@ from __future__ import annotations
 import time
 
 
-def chained_op_time(step_fn, x0, r1=64, best_of=3, min_delta=0.05):
-    """Per-iteration seconds of step_fn, overhead-corrected.
+def chained_op_time(step_fn, x0, operands=(), r1=64, best_of=3, min_delta=0.05):
+    """Per-iteration seconds of `step_fn(v, *operands)`, overhead-corrected.
 
     The trip-count pair adapts upward until the extra work dominates the
     fixed sync latency (otherwise tiny kernels drown in measurement noise).
+
+    Pass large arrays (operator data, ...) via `operands`, NOT via closure:
+    jit-closure arrays are embedded as literal constants in the compile
+    payload, which the remote-compile relay rejects above ~1 GB (HTTP 413)
+    and which bloats every cache entry.
     """
     import jax
     import jax.numpy as jnp
 
-    def body(_, v):
-        y = step_fn(v)
-        return y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
+    def chain_fn(v, n, *ops):
+        def body(_, u):
+            y = step_fn(u, *ops)
+            return y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
 
-    chain = jax.jit(lambda v, n: jax.lax.fori_loop(0, n, body, v))
-    float(jnp.sum(chain(x0, 4)))  # compile + warmup
+        return jax.lax.fori_loop(0, n, body, v)
+
+    chain = jax.jit(chain_fn)
+    float(jnp.sum(chain(x0, 4, *operands)))  # compile + warmup
 
     def measure(n):
         best = float("inf")
         for _ in range(best_of):
             t0 = time.perf_counter()
-            float(jnp.sum(chain(x0, n)))
+            float(jnp.sum(chain(x0, n, *operands)))
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -62,6 +62,22 @@ class NewtonStats(NamedTuple):
     lin_iters: jnp.ndarray      # total GMRES iterations across the step
 
 
+def _split_prep(prep):
+    """Split a prepared-operator tuple into (static, arrays-pytree)."""
+    if prep[0] == "bj":
+        return ("bj", prep[1], prep[3]), (prep[2], prep[4])
+    # tl: ("tl", offsets, dia_data, invd_offsets, invd_data, ac_inv, cs)
+    return ("tl", prep[1], prep[3], prep[6]), (prep[2], prep[4], prep[5])
+
+
+def _merge_prep(static, arrays):
+    if static[0] == "bj":
+        return ("bj", static[1], arrays[0], static[2], arrays[1])
+    return (
+        "tl", static[1], arrays[0], static[2], arrays[1], arrays[2], static[3],
+    )
+
+
 class NavierStokesSolver:
     """Flagship model: load mesh -> stokes init -> step -> dump, like the
     reference CLI, but as a library object with jitted compute."""
@@ -95,6 +111,27 @@ class NavierStokesSolver:
             self._res_M = self._assemble_dia(
                 dummy_UL, frozenset({"mass_dt_bare"})
             )
+
+        # All large device arrays flow into the jitted step/stokes functions
+        # as ARGUMENTS (this pytree), never as closure captures: closure
+        # arrays are embedded as literal constants in the compile payload,
+        # which bloats executables and overflows the remote-compile relay at
+        # multi-GB operator sizes.
+        d = self.disc
+        self._consts = {
+            "tets": d.tets, "vol": d.vol, "grad": d.grad, "h": d.h,
+            "elem_map": d.dia_elem_map,
+            "bc_is_bc": d.bc.is_bc, "bc_value": d.bc.value,
+        }
+        if self.cfg.jacobian == "exact":
+            static, arrays = _split_prep(self._exact_prep)
+            self._prep_static = static
+            self._consts["prep"] = arrays
+        else:
+            self._consts["jlin_dia"] = self._jlin_dia
+        if self.cfg.residual == "operator":
+            self._consts["res_A"] = self._res_A
+            self._consts["res_M"] = self._res_M
 
         self._stokes_jit = jax.jit(self._stokes_solve)
         self._step_jit = jax.jit(self._newton_step)
@@ -283,21 +320,22 @@ class NavierStokesSolver:
 
     # -- Stokes initialization ----------------------------------------------
 
-    def _stokes_solve(self):
+    def _stokes_solve(self, consts):
         from navierstokes_tpu.sparse.dia import zero_rows_dia
 
         d, cfg = self.disc, self.cfg
         dummy_UL = jnp.zeros((d.ne, 3, 4), dtype=self.dtype)
         # Stokes uses the small Stokes Reynolds number (`:1038`).
         stokes_dia = assemble_dia_values(
-            d.tets, d.vol, d.grad, d.h, dummy_UL, cfg.dt,
-            cfg.stokes_reynolds, cfg.delta, d.dia_elem_map,
-            terms=STOKES_TERMS, K=d.dia_pattern.K, ndof=d.ndof,
+            consts["tets"], consts["vol"], consts["grad"], consts["h"],
+            dummy_UL, cfg.dt, cfg.stokes_reynolds, cfg.delta,
+            consts["elem_map"], terms=STOKES_TERMS, K=d.dia_pattern.K,
+            ndof=d.ndof,
         )
         stokes_dia = zero_rows_dia(
-            d.dia_pattern.offsets, stokes_dia, d.bc.is_bc
+            d.dia_pattern.offsets, stokes_dia, consts["bc_is_bc"]
         )
-        rhs = d.bc.value.astype(self.dtype)
+        rhs = consts["bc_value"].astype(self.dtype)
         res = self._solve_prepared(
             self._prepare_operator_dia(stokes_dia), rhs, cfg.stokes_krylov
         )
@@ -305,12 +343,12 @@ class NavierStokesSolver:
 
     def stokes_init(self):
         """Initial condition from the steady Stokes solve (`:1094-1095`)."""
-        u0, iters, conv = self._stokes_jit()
+        u0, iters, conv = self._stokes_jit(self._consts)
         return u0
 
     # -- Newton time step ---------------------------------------------------
 
-    def _newton_step(self, u_init, u_old, delta_u_init):
+    def _newton_step(self, u_init, u_old, delta_u_init, consts):
         d, cfg = self.disc, self.cfg
         nw = cfg.newton
         kv = cfg.krylov
@@ -318,22 +356,24 @@ class NavierStokesSolver:
         dtype = self.dtype
 
         offsets = d.dia_pattern.offsets
+        is_bc = consts["bc_is_bc"]
+        bc_value = consts["bc_value"]
 
         def residual(u):
             if cfg.residual == "operator":
-                return spmv_dia(offsets, self._res_A, u) - spmv_dia(
-                    offsets, self._res_M, u_old
+                return spmv_dia(offsets, consts["res_A"], u) - spmv_dia(
+                    offsets, consts["res_M"], u_old
                 )
             return assemble_residual(
-                d.tets, d.vol, d.grad, d.h, u, u_old,
-                cfg.dt, cfg.reynolds, cfg.delta, ndof=d.ndof,
+                consts["tets"], consts["vol"], consts["grad"], consts["h"],
+                u, u_old, cfg.dt, cfg.reynolds, cfg.delta, ndof=d.ndof,
             )
 
         def body(carry):
             (u, delta_u, it, res0, res_h, du_h, lin_total, _, _) = carry
 
-            u = d.bc.apply_to_vector(u)
-            F = d.bc.zero_rows_vector(residual(u))
+            u = jnp.where(is_bc, bc_value.astype(dtype), u)
+            F = jnp.where(is_bc, jnp.zeros((), dtype), residual(u))
             res_norm = jnp.linalg.norm(F)
             res0 = jnp.where(it == 0, res_norm, res0)
             du_norm = jnp.linalg.norm(delta_u)
@@ -349,15 +389,20 @@ class NavierStokesSolver:
             def do_solve(operands):
                 u, delta_u, lin_total = operands
                 if cfg.jacobian == "exact":
-                    sol = self._exact_solve(-F, kv)
+                    prep = _merge_prep(self._prep_static, consts["prep"])
+                    sol = self._solve_prepared(prep, -F, kv)
                 else:
                     from navierstokes_tpu.sparse.dia import zero_rows_dia
 
-                    UL, _ = local_fields(d.tets, u)
-                    jnl = self._assemble_dia(UL, NONLINEAR_TERMS)
+                    UL, _ = local_fields(consts["tets"], u)
+                    jnl = assemble_dia_values(
+                        consts["tets"], consts["vol"], consts["grad"],
+                        consts["h"], UL, cfg.dt, cfg.reynolds, cfg.delta,
+                        consts["elem_map"], terms=NONLINEAR_TERMS,
+                        K=d.dia_pattern.K, ndof=d.ndof,
+                    )
                     values = zero_rows_dia(
-                        d.dia_pattern.offsets, self._jlin_dia + jnl,
-                        d.bc.is_bc,
+                        offsets, consts["jlin_dia"] + jnl, is_bc
                     )
                     sol = self._solve_prepared(
                         self._prepare_operator_dia(values), -F, kv
@@ -396,7 +441,7 @@ class NavierStokesSolver:
 
     def step(self, u, u_old, delta_u):
         """One backward-Euler step. Returns (u_new, delta_u, stats)."""
-        return self._step_jit(u, u_old, delta_u)
+        return self._step_jit(u, u_old, delta_u, self._consts)
 
     # -- Driver -------------------------------------------------------------
 
