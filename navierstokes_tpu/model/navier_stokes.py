@@ -237,6 +237,21 @@ class NavierStokesSolver:
         )
         return self._prepare_operator_dia(dia_data)
 
+    def _spmv(self, offsets, data, x):
+        """SpMV dispatch per SolverConfig.spmv (see config for rationale)."""
+        kind = self.cfg.krylov.spmv
+        if kind == "pallas" or (
+            kind == "auto"
+            and jax.default_backend() == "tpu"
+            and (data.shape[1] + 2 * max(abs(d) for d in offsets))
+            * data.dtype.itemsize
+            > 4 * 1024 * 1024
+        ):
+            from navierstokes_tpu.ops.pallas_dia import spmv_dia_pallas
+
+            return spmv_dia_pallas(offsets, data, x)
+        return spmv_dia(offsets, data, x)
+
     def _solve_prepared(self, prep, rhs, solver_cfg):
         """Left-preconditioned GMRES on the prepared operator."""
         if prep[0] == "tl":
@@ -245,7 +260,7 @@ class NavierStokesSolver:
             _, a_offsets, a_data, invd_offsets, invd_data, ac_inv, cs = prep
 
             def apply_A(x):
-                return spmv_dia(a_offsets, a_data, x)
+                return self._spmv(a_offsets, a_data, x)
 
             def apply_Dinv(r):
                 return spmv_dia(invd_offsets, invd_data, r)
@@ -264,7 +279,7 @@ class NavierStokesSolver:
             order = self.cfg.krylov.neumann_order
 
             def apply_S(x):
-                return spmv_dia(s_offsets, s_data, x)
+                return self._spmv(s_offsets, s_data, x)
 
             def neumann(r):
                 acc = r

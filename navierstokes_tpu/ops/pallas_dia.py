@@ -47,14 +47,36 @@ def _dia_kernel(offsets, tile, halo, xp_ref, data_ref, out_ref):
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
+def _dia_kernel_windowed(offsets, tile, halo, win, xp_ref, data_ref, out_ref,
+                         xwin, sem):
+    """Large-n variant: x stays in HBM; each tile DMAs its (tile + 2*halo)
+    window into VMEM once and reuses it for all K diagonals — unlike the XLA
+    lowering, which rereads x from HBM per diagonal once it outgrows VMEM."""
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        xp_ref.at[pl.ds(i * tile, win)], xwin, sem
+    )
+    cp.start()
+    cp.wait()
+    acc = jnp.zeros((tile,), dtype=jnp.float32)
+    for k, d in enumerate(offsets):
+        xs = xwin[halo + d : halo + d + tile]     # static in-VMEM slice
+        acc = acc + data_ref[k, :].astype(jnp.float32) * xs
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "tile", "interpret")
+    jax.jit, static_argnames=("offsets", "tile", "interpret", "windowed")
 )
-def spmv_dia_pallas(offsets, data, x, *, tile: int = 4096, interpret=None):
+def spmv_dia_pallas(
+    offsets, data, x, *, tile: int = 4096, interpret=None, windowed=None
+):
     """y = A x for ScalarDIA (offsets, data); x: (ndof,).
 
     offsets must be a static tuple.  ndof is padded to a tile multiple
     internally.  Set interpret=True off-TPU (defaults to auto-detect).
+    windowed=None auto-selects: the whole padded x lives in VMEM when it
+    fits (< 4 MB), otherwise it stays in HBM and each tile DMAs its window.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -62,12 +84,41 @@ def spmv_dia_pallas(offsets, data, x, *, tile: int = 4096, interpret=None):
     h = max(max(abs(d) for d in offsets), 1)
     n_pad = -(-n // tile) * tile
     grid = n_pad // tile
+    if windowed is None:
+        windowed = (n_pad + 2 * h) * data.dtype.itemsize > 4 * 1024 * 1024
 
     data_p = jnp.pad(data, ((0, 0), (0, n_pad - n)))
+
+    if windowed:
+        # Mosaic requires matching 1-D DMA tilings: round the window to a
+        # full (8, 128) tile multiple (1024 f32 elements).
+        win = tile + 2 * h
+        win = -(-win // 1024) * 1024
+        # xp index of x[j] is j + h; window for tile i covers [i*tile, +win).
+        # 1-D on purpose: the DMA source must share the 1-D scratch tiling.
+        xp = jnp.pad(x.astype(data.dtype), (h, h + (n_pad - n) + win))
+        out = pl.pallas_call(
+            functools.partial(_dia_kernel_windowed, offsets, tile, h, win),
+            out_shape=jax.ShapeDtypeStruct((n_pad,), x.dtype),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),       # x stays in HBM
+                pl.BlockSpec((k, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile,), lambda i: (i,),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((win,), data.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(xp, data_p)
+        return out[:n]
+
     # x padded with halo on both sides, to the padded length, plus room for
     # the aligned-load overshoot (128-aligned start + tile + 128 window).
     xp = jnp.pad(x.astype(data.dtype), (h, h + (n_pad - n) + 256))[None, :]
-
     out = pl.pallas_call(
         functools.partial(_dia_kernel, offsets, tile, h),
         out_shape=jax.ShapeDtypeStruct((n_pad,), x.dtype),
