@@ -103,6 +103,35 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
             return neumann(apply_S(x))
 
         b_eff = neumann(apply_Dinv(b))
+
+        if solver_cfg.method == "ca_gmres" and order == 0:
+            # Communication-avoiding s-step GMRES: the whole basis from ONE
+            # k*halo-deep exchange (parallel.partitioned_spmv_dia_power).
+            from navierstokes_tpu.parallel.partitioned import (
+                partitioned_spmv_dia_power,
+            )
+            from navierstokes_tpu.solvers.sstep import ca_gmres
+
+            basis = min(solver_cfg.restart, 16)
+            L = n_pad // ndev
+            if basis * halo <= L:
+                def powers_fn(v, s):
+                    return partitioned_spmv_dia_power(
+                        dmesh, ax, s_offsets, s_data_p, v, ndev, s,
+                        return_all=True,
+                    )
+
+                res = ca_gmres(
+                    matvec, b_eff, basis=basis, rtol=solver_cfg.rtol,
+                    atol=solver_cfg.atol, maxiter=solver_cfg.maxiter,
+                    powers_fn=powers_fn,
+                )
+                return GMRESResult(
+                    x=res.x[:n], iters=res.iters, resnorm=res.resnorm,
+                    converged=res.converged,
+                )
+            # basis too deep for the partition: fall through to gmres
+
         res = gmres(
             matvec, b_eff, restart=solver_cfg.restart,
             rtol=solver_cfg.rtol, atol=solver_cfg.atol,

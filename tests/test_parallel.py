@@ -222,6 +222,41 @@ def test_distributed_ca_gmres(device_mesh, banded_operator):
     assert err < 1e-6, f"distributed ca-gmres error {err}"
 
 
+def test_distributed_solver_ca_gmres_method():
+    """Distributed solver with method='ca_gmres' (one-exchange basis) matches
+    the standard-GMRES distributed solve."""
+    import dataclasses
+
+    cfg = NSConfig(
+        dt=0.01, t_final=0.01, reynolds=100.0, delta=0.1, dtype="float64",
+        krylov=SolverConfig(rtol=1e-11, atol=1e-12, maxiter=6000,
+                            neumann_order=0),
+        stokes_krylov=SolverConfig(rtol=1e-12, atol=1e-12, maxiter=6000,
+                                   neumann_order=0),
+    )
+    cfg_ca = dataclasses.replace(
+        cfg,
+        krylov=dataclasses.replace(cfg.krylov, method="ca_gmres", restart=8),
+        stokes_krylov=dataclasses.replace(cfg.stokes_krylov,
+                                          method="ca_gmres", restart=8),
+    )
+    mesh = channel_mesh(24, 2, 2, length=6.0)
+    devs = jax.devices()[:4]
+    s_std, _ = DistributedNavierStokesSolver.from_mesh(mesh, cfg, devices=devs)
+    s_ca, _ = DistributedNavierStokesSolver.from_mesh(mesh, cfg_ca,
+                                                      devices=devs)
+    u0 = s_std.stokes_init()
+    import jax.numpy as jnp_
+
+    u1, _, st1 = s_std.step(u0, u0, jnp_.zeros_like(u0))
+    u2, _, st2 = s_ca.step(u0, u0, jnp_.zeros_like(u0))
+    assert bool(st1.converged) and bool(st2.converged)
+    err = np.linalg.norm(np.asarray(u2) - np.asarray(u1)) / np.linalg.norm(
+        np.asarray(u1)
+    )
+    assert err < 1e-6, f"distributed ca_gmres drift {err}"
+
+
 def test_partition_rejects_wide_band(device_mesh):
     mesh = channel_mesh(2, 2, 2)  # tiny: bandwidth ~ nv
     disc = build_discretization(mesh, dtype=jnp.float64)
