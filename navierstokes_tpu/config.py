@@ -30,6 +30,10 @@ class SolverConfig:
     maxiter: int = 2000
     preconditioner: str = "block_jacobi"  # "block_jacobi" | "two_level" |
                                           # "ilu0" | "none"
+    # two_level cuts GMRES iterations ~2.6x at 121k DoF (84 vs 216) and is
+    # validated correct to 1e-13, but its apply currently runs far below
+    # roofline on the axon TPU backend (suspect: the dense coarse GEMV
+    # lowering) — keep block_jacobi as the TPU default until profiled.
     neumann_order: int = 2      # Neumann-series boost of block-Jacobi (0 = plain)
                                 # NOTE: the Neumann series need not converge on
                                 # the indefinite saddle-point system (odd orders
