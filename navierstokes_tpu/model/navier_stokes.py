@@ -15,17 +15,17 @@ Pipeline per run:
 TPU design choices (not translations):
   - the whole Newton loop is ONE jitted `lax.while_loop` — zero host sync
     per iteration; per-iteration norms are recorded into fixed-size arrays,
-  - the operator lives as block-ELL values regenerated each iteration by a
-    static scatter (pattern fixed, values = segment_sum of element blocks),
+  - the operator lives in the flat scalar-DIA layout, (re)built by one
+    static 1-D scatter (pattern fixed) and pre-scaled by the block-Jacobi
+    inverse so each GMRES iteration is exactly one SpMV,
   - preconditioning is batched-inverse block-Jacobi (+ optional Neumann
-    boost) instead of sequential ILU triangular solves (SURVEY.md §7).
+    boost or a two-level coarse correction) instead of sequential ILU
+    triangular solves (SURVEY.md §7).
 """
 
 from __future__ import annotations
 
-import dataclasses
 import os
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -38,19 +38,16 @@ from navierstokes_tpu.fem.assembly import (
     NONLINEAR_TERMS,
     STOKES_TERMS,
     Discretization,
-    assemble_bcsr_values,
     assemble_dia_values,
     assemble_residual,
     build_discretization,
     local_fields,
 )
-from navierstokes_tpu.fem.dirichlet import zero_rows_bcsr
 from navierstokes_tpu.io.dat import write_petsc_vec
 from navierstokes_tpu.io.vtu import write_pvd, write_vtu
 from navierstokes_tpu.mesh.core import Mesh
-from navierstokes_tpu.ops.block import block4_apply, block4_inverse
-from navierstokes_tpu.ops.spmv import spmv_bell, spmv_dia
-from navierstokes_tpu.sparse.bell import bell_values_from_bcsr_values
+from navierstokes_tpu.ops.block import block4_inverse
+from navierstokes_tpu.ops.spmv import spmv_dia
 from navierstokes_tpu.solvers.gmres import GMRESResult, gmres
 
 
@@ -145,40 +142,6 @@ class NavierStokesSolver:
         )
 
     # -- operator plumbing --------------------------------------------------
-
-    def _ell_values(self, bcsr_values):
-        return bell_values_from_bcsr_values(
-            bcsr_values, self.disc.slot_of_bcsr, self.disc.mesh.nv,
-            self.disc.ell_slots,
-        )
-
-    def _matvec_from(self, ell_values):
-        idx = self.disc.ell_indices_dev
-
-        def matvec(x):
-            return spmv_bell(idx, ell_values, x)
-
-        return matvec
-
-    def _preconditioner_from(self, bcsr_values, matvec):
-        inv_diag = block4_inverse(
-            bcsr_values[self.disc.diag_slots], pivot_eps=1e-300, shift=1e-8
-        )
-        order = self.cfg.krylov.neumann_order
-
-        def pc(r):
-            z = block4_apply(inv_diag, r)
-            for _ in range(order):
-                z = z + block4_apply(inv_diag, r - matvec(z))
-            return z
-
-        return pc
-
-    def _apply_bc_rows(self, values):
-        return zero_rows_bcsr(
-            values, self.disc.row_ids, jnp.asarray(self.disc.indices),
-            self.disc.diag_slots, self.disc.bc.row_bc,
-        )
 
     def _prepare_operator_dia(self, dia_data):
         """BC-applied DIA data -> prepared (operator, preconditioner).
@@ -320,18 +283,6 @@ class NavierStokesSolver:
             rtol=solver_cfg.rtol, atol=solver_cfg.atol,
             maxiter=solver_cfg.maxiter,
         )
-
-    def _linear_solve(self, bcsr_values, rhs, solver_cfg):
-        """Solve A x = rhs for BC-applied BCSR values via the scalar-DIA fast
-        path.  Overridden by the distributed solver with the halo-exchange
-        partitioned matvec."""
-        return self._solve_prepared(
-            self._prepare_operator(bcsr_values), rhs, solver_cfg
-        )
-
-    def _exact_solve(self, rhs, solver_cfg):
-        """Solve with the precomputed constant Jacobian (exact mode)."""
-        return self._solve_prepared(self._exact_prep, rhs, solver_cfg)
 
     # -- Stokes initialization ----------------------------------------------
 
