@@ -51,25 +51,71 @@ def _dia_kernel_windowed(offsets, tile, halo, win, xp_ref, data_ref, out_ref,
                          xwin, sem):
     """Large-n variant: x stays in HBM; each tile DMAs its (tile + 2*halo)
     window into VMEM once and reuses it for all K diagonals — unlike the XLA
-    lowering, which rereads x from HBM per diagonal once it outgrows VMEM."""
+    lowering, which rereads x from HBM per diagonal once it outgrows VMEM.
+
+    Double-buffered: `xwin` is one flat (2*win,) scratch holding two slots
+    (flat 1-D so DMA source/target tilings match — Mosaic constraint); the
+    DMA for tile i+1's window is issued before tile i's compute, overlapping
+    the x-window fetch with the K multiply-adds.  The diagonal data stream
+    (data_ref) is already double-buffered by the pallas grid pipeline."""
     i = pl.program_id(0)
-    cp = pltpu.make_async_copy(
-        xp_ref.at[pl.ds(i * tile, win)], xwin, sem
-    )
-    cp.start()
-    cp.wait()
+    nprog = pl.num_programs(0)
+    slot = i % 2
+    nxt = 1 - slot
+
+    def window_copy(j, s):
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(j * tile, win)],
+            xwin.at[pl.ds(pl.multiple_of(s * win, 1024), win)],
+            sem.at[s],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        window_copy(0, 0).start()
+
+    @pl.when(i + 1 < nprog)
+    def _():
+        window_copy(i + 1, nxt).start()
+
+    window_copy(i, slot).wait()
+
+    base = pl.multiple_of(slot * win, 1024)
     acc = jnp.zeros((tile,), dtype=jnp.float32)
+    pretiled = data_ref.ndim == 3
     for k, d in enumerate(offsets):
-        xs = xwin[halo + d : halo + d + tile]     # static in-VMEM slice
-        acc = acc + data_ref[k, :].astype(jnp.float32) * xs
+        # Flat 1-D VMEM arrays are (1024,)-tiled, so dynamic load offsets
+        # must be provably multiples of 1024 (vs 128 lanes for 2-D): split
+        # halo+d into an aligned dynamic start and a static remainder slice.
+        q, r = divmod(halo + d, 1024)
+        seg = xwin[pl.ds(base + 1024 * q, tile + 1024)]
+        xs = jax.lax.slice_in_dim(seg, r, r + tile, axis=0)
+        row = data_ref[0, k, :] if pretiled else data_ref[k, :]
+        acc = acc + row.astype(jnp.float32) * xs
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
+def pretile_dia(data, n, *, tile: int = 4096):
+    """(K, n) DIA data -> (grid, K, tile) tile-major layout.
+
+    In the row-major (K, n) layout each tile's HBM fetch is K strided strips
+    of tile*itemsize bytes spaced n*itemsize apart; beyond ~500k rows the
+    stride defeats HBM page locality and the stream plateaus near 210 GB/s.
+    Tile-major storage makes each grid step's operator block one contiguous
+    DMA.  Do this ONCE at operator-preparation time (it is a full copy),
+    then pass the 3-D result to `spmv_dia_pallas`."""
+    k = data.shape[0]
+    n_pad = -(-n // tile) * tile
+    data_p = jnp.pad(data, ((0, 0), (0, n_pad - n)))
+    return data_p.reshape(k, n_pad // tile, tile).transpose(1, 0, 2)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "tile", "interpret", "windowed")
+    jax.jit, static_argnames=("offsets", "tile", "interpret", "windowed", "n")
 )
 def spmv_dia_pallas(
-    offsets, data, x, *, tile: int = 4096, interpret=None, windowed=None
+    offsets, data, x, *, tile: int = 4096, interpret=None, windowed=None,
+    n=None,
 ):
     """y = A x for ScalarDIA (offsets, data); x: (ndof,).
 
@@ -77,40 +123,59 @@ def spmv_dia_pallas(
     internally.  Set interpret=True off-TPU (defaults to auto-detect).
     windowed=None auto-selects: the whole padded x lives in VMEM when it
     fits (< 4 MB), otherwise it stays in HBM and each tile DMAs its window.
+    data may be 2-D (K, n) row-major, or 3-D (grid, K, tile) tile-major from
+    `pretile_dia` (windowed path only; pass n=len(x) explicitly).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    k, n = data.shape
-    h = max(max(abs(d) for d in offsets), 1)
-    n_pad = -(-n // tile) * tile
-    grid = n_pad // tile
-    if windowed is None:
-        windowed = (n_pad + 2 * h) * data.dtype.itemsize > 4 * 1024 * 1024
-
-    data_p = jnp.pad(data, ((0, 0), (0, n_pad - n)))
+    pretiled = data.ndim == 3
+    if pretiled:
+        grid_, k, tile = data.shape
+        n = n if n is not None else x.shape[0]
+        n_pad = grid_ * tile
+        assert n_pad == -(-n // tile) * tile
+        h = max(max(abs(d) for d in offsets), 1)
+        grid = grid_
+        windowed = True
+        data_p = data
+    else:
+        k, n = data.shape
+        h = max(max(abs(d) for d in offsets), 1)
+        n_pad = -(-n // tile) * tile
+        grid = n_pad // tile
+        if windowed is None:
+            windowed = (n_pad + 2 * h) * data.dtype.itemsize > 4 * 1024 * 1024
+        data_p = jnp.pad(data, ((0, 0), (0, n_pad - n)))
 
     if windowed:
         # Mosaic requires matching 1-D DMA tilings: round the window to a
-        # full (8, 128) tile multiple (1024 f32 elements).
-        win = tile + 2 * h
+        # full (8, 128) tile multiple (1024 f32 elements).  +1024 leaves room
+        # for the aligned-load overshoot (1024*q start + tile + 1024 extent).
+        win = tile + 2 * h + 1024
         win = -(-win // 1024) * 1024
         # xp index of x[j] is j + h; window for tile i covers [i*tile, +win).
         # 1-D on purpose: the DMA source must share the 1-D scratch tiling.
-        xp = jnp.pad(x.astype(data.dtype), (h, h + (n_pad - n) + win))
+        xp = jnp.pad(x.astype(data_p.dtype), (h, h + (n_pad - n) + win))
+        data_spec = (
+            pl.BlockSpec((1, k, tile), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            if pretiled
+            else pl.BlockSpec((k, tile), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+        )
         out = pl.pallas_call(
             functools.partial(_dia_kernel_windowed, offsets, tile, h, win),
             out_shape=jax.ShapeDtypeStruct((n_pad,), x.dtype),
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),       # x stays in HBM
-                pl.BlockSpec((k, tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
+                data_spec,
             ],
             out_specs=pl.BlockSpec((tile,), lambda i: (i,),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((win,), data.dtype),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2 * win,), data.dtype),   # two x-window slots
+                pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
         )(xp, data_p)

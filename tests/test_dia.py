@@ -99,6 +99,35 @@ def test_pallas_dia_kernel_interpret(fem_op):
         assert rel < 1e-6, f"tile={tile} rel err {rel}"
 
 
+def test_pallas_dia_windowed_interpret(fem_op):
+    """Double-buffered windowed variant (x in HBM, per-tile DMA windows)
+    matches the XLA path, including odd/even and single-tile grids."""
+    from navierstokes_tpu.ops.pallas_dia import spmv_dia_pallas
+
+    disc, op = fem_op
+    dia = dia_from_bcsr(op)
+    data32 = dia.data.astype(jnp.float32)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(disc.ndof), dtype=jnp.float32)
+    y_ref = spmv_dia(dia.offsets, data32, x)
+    from navierstokes_tpu.ops.pallas_dia import pretile_dia
+
+    for tile in (128, 256, 1024):   # odd, even, and grid==1 tile counts
+        for pretiled in (False, True):
+            data_in = (
+                pretile_dia(data32, disc.ndof, tile=tile)
+                if pretiled else data32
+            )
+            y = spmv_dia_pallas(
+                dia.offsets, data_in, x, tile=tile, interpret=True,
+                windowed=True, n=disc.ndof,
+            )
+            rel = np.linalg.norm(np.asarray(y) - np.asarray(y_ref)) / (
+                np.linalg.norm(np.asarray(y_ref))
+            )
+            assert rel < 1e-6, f"tile={tile} pretiled={pretiled} rel {rel}"
+
+
 def test_dia_overlapping_scalar_diagonals():
     """Block deltas d1 != d2 can share a scalar diagonal (4*d1+e1 == 4*d2+e2);
     contributions must ADD, not overwrite."""
