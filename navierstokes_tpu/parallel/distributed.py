@@ -61,18 +61,16 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
         perm = best_ordering(mesh)
         return cls(reorder_mesh(mesh, perm), cfg, devices=devices, axis=axis), perm
 
-    def _pad_n(self, halo: int) -> int:
+    def _pad_n(self, halo: int, multiple: int = 1) -> int:
         n = self.disc.ndof
         P_ = self.n_devices
         L = max(-(-n // P_), halo)
+        L = -(-L // multiple) * multiple
         return P_ * L
 
     def _solve_prepared(self, prep, rhs, solver_cfg):
-        if prep[0] != "bj":
-            raise NotImplementedError(
-                "distributed solver supports the block_jacobi preconditioner; "
-                "two_level lands with a distributed coarse solve"
-            )
+        if prep[0] == "tl":
+            return self._solve_prepared_tl(prep, rhs, solver_cfg)
         _, s_offsets, s_data, invd_offsets, invd_data = prep
         halo = max(max(abs(d) for d in s_offsets), 1)
         n = self.disc.ndof
@@ -137,6 +135,90 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
             rtol=solver_cfg.rtol, atol=solver_cfg.atol,
             maxiter=solver_cfg.maxiter,
         )
+        return GMRESResult(
+            x=res.x[:n], iters=res.iters, resnorm=res.resnorm,
+            converged=res.converged,
+        )
+
+    def _solve_prepared_tl(self, prep, rhs, solver_cfg):
+        """Distributed two-level (coarse-grid corrected) solve.
+
+        The coarse space (solvers/coarse): aggregates are contiguous runs of
+        `agg` nodes, so with rows-per-device rounded to a multiple of 4*agg
+        every aggregate lives wholly on one device and restriction/
+        prolongation are LOCAL reshape-reduce/broadcast per shard.  The only
+        coarse communication is one tiled all_gather of the (tiny) restricted
+        residual per apply; the dense coarse inverse is row-sharded so each
+        device computes just its slice of the correction.  Smoothing reuses
+        the partitioned DIA SpMV (one halo exchange each for A z and D^-1 r).
+        """
+        _, a_offsets, a_data, invd_offsets, invd_data, ac_inv, cs = prep
+        agg = cs.agg_size
+        halo = max(max(abs(d) for d in a_offsets), 1)
+        n = self.disc.ndof
+        n_pad = self._pad_n(halo, multiple=4 * agg)
+        pad = n_pad - n
+        dmesh, ax, ndev = self.device_mesh, self.axis, self.n_devices
+
+        a_data_p = jnp.pad(a_data, ((0, 0), (0, pad)))
+        invd_p = jnp.pad(invd_data, ((0, 0), (0, pad)))
+        b = jnp.pad(rhs, (0, pad))
+        # Coarse DoF count over the padded rows; extra (padding) aggregates
+        # get zero rows in the inverse => zero correction, and the row mask
+        # keeps padding rows of z identically zero so padded Krylov iterates
+        # stay zero (the invariant the bj path gets for free).
+        nc_pad = n_pad // agg
+        nc = cs.nc
+        ac_inv_p = jnp.pad(ac_inv, ((0, nc_pad - nc), (0, nc_pad - nc)))
+        mask = (jnp.arange(n_pad) < n).astype(b.dtype)
+
+        def apply_A(x):
+            return partitioned_spmv_dia(dmesh, ax, a_offsets, a_data_p, x, ndev)
+
+        def apply_Dinv(x):
+            return partitioned_spmv_dia(dmesh, ax, invd_offsets, invd_p, x, ndev)
+
+        def _coarse_body(r_loc, acinv_loc, mask_loc):
+            # local restriction: sum each aggregate, per component
+            rc_loc = r_loc.reshape(-1, agg, 4).sum(axis=1).reshape(-1)
+            rc = jax.lax.all_gather(rc_loc, ax, tiled=True)   # (nc_pad,) tiny
+            zc_loc = acinv_loc @ rc                           # own coarse rows
+            z_loc = jnp.broadcast_to(
+                zc_loc.reshape(-1, 1, 4),
+                (zc_loc.shape[0] // 4, agg, 4),
+            ).reshape(-1)
+            return z_loc * mask_loc
+
+        coarse_correct = jax.shard_map(
+            _coarse_body,
+            mesh=dmesh,
+            in_specs=(P(ax), P(ax, None), P(ax)),
+            out_specs=P(ax),
+        )
+
+        def minv(r):
+            z = coarse_correct(r, ac_inv_p, mask)
+            return z + apply_Dinv(r - apply_A(z))
+
+        def matvec(x):
+            return minv(apply_A(x))
+
+        b_eff = minv(b)
+
+        if solver_cfg.method == "ca_gmres":
+            from navierstokes_tpu.solvers.sstep import ca_gmres
+
+            res = ca_gmres(
+                matvec, b_eff, basis=min(solver_cfg.restart, 16),
+                rtol=solver_cfg.rtol, atol=solver_cfg.atol,
+                maxiter=solver_cfg.maxiter,
+            )
+        else:
+            res = gmres(
+                matvec, b_eff, restart=solver_cfg.restart,
+                rtol=solver_cfg.rtol, atol=solver_cfg.atol,
+                maxiter=solver_cfg.maxiter,
+            )
         return GMRESResult(
             x=res.x[:n], iters=res.iters, resnorm=res.resnorm,
             converged=res.converged,

@@ -262,3 +262,33 @@ def test_partition_rejects_wide_band(device_mesh):
     disc = build_discretization(mesh, dtype=jnp.float64)
     with pytest.raises(ValueError, match="halo|bandwidth"):
         build_row_partition(disc.ell_indices, 16)
+
+
+def test_distributed_two_level_matches_single_chip():
+    """Distributed two-level preconditioned solve == single chip: the coarse
+    correction is local restrict + one tiny all_gather + row-sharded dense
+    GEMV + local prolong (aggregates never straddle devices)."""
+    import dataclasses
+
+    kr = SolverConfig(rtol=1e-12, atol=1e-13, maxiter=4000,
+                      preconditioner="two_level", coarse_agg=4)
+    cfg = NSConfig(
+        dt=0.01, t_final=0.02, reynolds=100.0, delta=0.1, dtype="float64",
+        krylov=kr,
+        stokes_krylov=dataclasses.replace(kr, rtol=1e-13),
+    )
+    mesh = channel_mesh(12, 2, 2, length=6.0)
+
+    single = NavierStokesSolver(mesh, cfg)
+    u_single = single.run(2, monitor=False)
+
+    dist, perm = DistributedNavierStokesSolver.from_mesh(
+        mesh, cfg, devices=jax.devices()[:N_DEV]
+    )
+    u_dist = dist.run(2, monitor=False)
+
+    np.testing.assert_array_equal(perm, np.arange(mesh.nv))
+    err = np.linalg.norm(np.asarray(u_dist) - np.asarray(u_single)) / (
+        np.linalg.norm(np.asarray(u_single))
+    )
+    assert err < 1e-8, f"two-level multi-chip vs single-chip error {err}"
