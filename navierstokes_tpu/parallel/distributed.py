@@ -55,6 +55,10 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
                 "reduce device count or refine/reorder the mesh"
             )
 
+    def _maybe_pretile(self, offsets, data):
+        # partitioned SpMV slices row-major DIA data per shard: never pretile
+        return data
+
     @classmethod
     def from_mesh(cls, mesh: Mesh, cfg=None, *, devices=None, axis="x"):
         """Band-order the mesh, then build the distributed solver."""

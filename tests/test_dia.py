@@ -141,3 +141,35 @@ def test_dia_overlapping_scalar_diagonals():
     dia = dia_from_bcsr(m)
     np.testing.assert_allclose(dia.to_dense(), m.to_dense(), rtol=1e-13,
                                atol=1e-14)
+
+
+def test_model_pretile_dispatch(fem_op):
+    """spmv='pallas' pre-tiles the prepared operator to (grid, K, tile) and
+    _spmv dispatches 3-D data through the windowed kernel (interpret on CPU),
+    matching the XLA row-major path."""
+    import dataclasses
+
+    from navierstokes_tpu.config import NSConfig, SolverConfig
+    from navierstokes_tpu.mesh.box import channel_mesh
+    from navierstokes_tpu.model import NavierStokesSolver
+
+    mesh = channel_mesh(6, 2, 2, length=3.0)
+    cfg = NSConfig(dt=0.01, reynolds=100.0, delta=0.1, dtype="float32",
+                   krylov=SolverConfig(spmv="pallas"))
+    solver = NavierStokesSolver(mesh, cfg)
+    tag, s_off, s_data, i_off, i_data = solver._exact_prep
+    assert s_data.ndim == 3, "prepared operator should be pre-tiled"
+
+    cfg2 = dataclasses.replace(
+        cfg, krylov=dataclasses.replace(cfg.krylov, spmv="xla"))
+    solver2 = NavierStokesSolver(mesh, cfg2)
+    _, _, s2_data, _, _ = solver2._exact_prep
+    assert s2_data.ndim == 2
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(solver.disc.ndof), dtype=jnp.float32)
+    y3 = solver._spmv(s_off, s_data, x)
+    y2 = solver2._spmv(s_off, s2_data, x)
+    rel = np.linalg.norm(np.asarray(y3) - np.asarray(y2)) / np.linalg.norm(
+        np.asarray(y2))
+    assert rel < 1e-6, rel
