@@ -204,11 +204,13 @@ class NavierStokesSolver:
 
     def _maybe_pretile(self, offsets, data):
         """Pre-tile DIA data to (grid, K, tile) when the solve will dispatch
-        to the windowed Pallas kernel (TPU + x beyond VMEM): one transpose at
-        operator-preparation time buys contiguous per-tile operator DMAs —
-        3.3x over the row-major windowed kernel at >=500k rows (near HBM
-        peak).  The distributed solver overrides this to a no-op (the
-        partitioned SpMV needs the row-major layout for halo slicing)."""
+        to the windowed Pallas kernel: one transpose at operator-preparation
+        time buys contiguous per-tile operator DMAs.  Measured on one v5e:
+        533 GF/s at 121k rows (XLA's DIA lowering is bimodal there — 55 or
+        440 us depending on its VMEM placement of the operator), 242 GF/s at
+        511k, 250 GF/s at 2.35M (HBM-bound).  The distributed solver
+        overrides this to a no-op (the partitioned SpMV slices row-major
+        data per shard)."""
         kind = self.cfg.krylov.spmv
         if kind != "pallas" and (
             kind == "xla"
@@ -216,15 +218,17 @@ class NavierStokesSolver:
             or jax.default_backend() != "tpu"
         ):
             return data
-        h = max(max(abs(d) for d in offsets), 1)
-        nbytes = (data.shape[1] + 2 * h) * data.dtype.itemsize
-        if kind == "auto" and nbytes <= 4 * 1024 * 1024:
-            return data
+        if kind == "auto" and data.nbytes <= 4 * 1024 * 1024:
+            return data            # tiny operators: XLA is fine, skip a copy
         if data.dtype != jnp.float32:
             return data            # bf16 keeps the row-major XLA-friendly form
         from navierstokes_tpu.ops.pallas_dia import pretile_dia
 
-        return pretile_dia(data, data.shape[1])
+        # Empirical tile choice (bench_dbuf/bench_m6 sweeps): 8192 wins when
+        # the whole pre-tiled operator is VMEM-pinnable, 4096 beyond.
+        n = data.shape[1]
+        tile = 8192 if n <= 150_000 else 4096
+        return pretile_dia(data, n, tile=tile)
 
     def _spmv(self, offsets, data, x):
         """SpMV dispatch per SolverConfig.spmv (see config for rationale)."""
