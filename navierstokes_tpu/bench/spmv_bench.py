@@ -113,6 +113,19 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str):
              lambda u: spmv_dia(offsets, data, u).astype(dtype), v, k),
          (dia_bf16,)),
     ]
+    if dtype == jnp.float32:
+        # The stable hot-path kernel (XLA's DIA lowering is bimodal across
+        # compilations — see CLAUDE.md); tile heuristic as in the model.
+        from navierstokes_tpu.ops.pallas_dia import pretile_dia, spmv_dia_pallas
+
+        tile = 8192 if disc.ndof <= 150_000 else 4096
+        dia_3d = pretile_dia(dia_data, disc.ndof, tile=tile)
+        variants += [
+            (f"DIA Pallas pretiled t={tile}",
+             lambda v, d3: matrix_power_like(
+                 lambda u: spmv_dia_pallas(offsets, d3, u, n=disc.ndof), v, k),
+             (dia_3d,)),
+        ]
 
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal(disc.ndof), dtype=dtype
