@@ -214,14 +214,12 @@ class NavierStokesSolver:
         kind = self.cfg.krylov.spmv
         if kind != "pallas" and (
             kind == "xla"
-            or data.dtype != jnp.float32
+            or data.dtype not in (jnp.float32, jnp.bfloat16)
             or jax.default_backend() != "tpu"
         ):
             return data
         if kind == "auto" and data.nbytes <= 4 * 1024 * 1024:
             return data            # tiny operators: XLA is fine, skip a copy
-        if data.dtype != jnp.float32:
-            return data            # bf16 keeps the row-major XLA-friendly form
         from navierstokes_tpu.ops.pallas_dia import pretile_dia
 
         # Empirical tile choice (bench_dbuf/bench_m6 sweeps): 8192 wins when
@@ -472,30 +470,40 @@ class NavierStokesSolver:
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
 
+        def print_monitor(step, stats):
+            it = int(stats.iters)
+            res_h = np.asarray(stats.res_hist)
+            print(
+                f"=== Time step {step} (t={step * cfg.dt:.3f}) === "
+                f"newton={it} lin={int(stats.lin_iters)} "
+                f"|F|={res_h[max(it - 1, 0)]:.2e} "
+                f"converged={bool(stats.converged)}"
+            )
+            if monitor == "newton":
+                # Per-iteration lines in the reference monitor format
+                # (`src/solve_newton.c:1235-1239`).
+                du_h = np.asarray(stats.du_hist)
+                for k in range(it):
+                    rel = res_h[k] / max(res_h[0], 1e-300)
+                    tag = "CONVERGED" if (
+                        k == it - 1 and bool(stats.converged)
+                    ) else ""
+                    print(
+                        f"Newton {k:02d}: |F|={res_h[k]:6.2e} "
+                        f"(rel {rel:.1e}), |du|={du_h[k]:6.2e} {tag}"
+                    )
+
+        pending = None   # (step, stats) whose monitor print is deferred
         for step in range(1, n_steps + 1):
             u, delta_u, stats = self.step(u, u_old, delta_u)
             if monitor:
-                it = int(stats.iters)
-                res_h = np.asarray(stats.res_hist)
-                print(
-                    f"=== Time step {step} (t={step * cfg.dt:.3f}) === "
-                    f"newton={it} lin={int(stats.lin_iters)} "
-                    f"|F|={res_h[max(it - 1, 0)]:.2e} "
-                    f"converged={bool(stats.converged)}"
-                )
-                if monitor == "newton":
-                    # Per-iteration lines in the reference monitor format
-                    # (`src/solve_newton.c:1235-1239`).
-                    du_h = np.asarray(stats.du_hist)
-                    for k in range(it):
-                        rel = res_h[k] / max(res_h[0], 1e-300)
-                        tag = "CONVERGED" if (
-                            k == it - 1 and bool(stats.converged)
-                        ) else ""
-                        print(
-                            f"Newton {k:02d}: |F|={res_h[k]:6.2e} "
-                            f"(rel {rel:.1e}), |du|={du_h[k]:6.2e} {tag}"
-                        )
+                # Pipelined monitor: step N+1 is dispatched BEFORE step N's
+                # stats are fetched, so the ~30 ms/fetch host round trips
+                # (4 per step through the TPU relay) overlap device compute
+                # instead of serializing with it.
+                if pending is not None:
+                    print_monitor(*pending)
+                pending = (step, stats)
             if check_finite and not bool(jnp.all(jnp.isfinite(u))):
                 # Failure detection (the `src/main.c:172-179` NaN-abort
                 # analog): stop before writing poisoned state.
@@ -521,6 +529,8 @@ class NavierStokesSolver:
                 )
             u_old = u
 
+        if pending is not None:
+            print_monitor(*pending)
         if save_dir and pvd_entries:
             write_pvd(os.path.join(save_dir, "time_series.pvd"), pvd_entries)
         return u

@@ -47,8 +47,8 @@ def _dia_kernel(offsets, tile, halo, xp_ref, data_ref, out_ref):
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
-def _dia_kernel_windowed(offsets, tile, halo, win, xp_ref, data_ref, out_ref,
-                         xwin, sem):
+def _dia_kernel_windowed(offsets, tile, halo, win, granule, xp_ref, data_ref,
+                         out_ref, xwin, sem):
     """Large-n variant: x stays in HBM; each tile DMAs its (tile + 2*halo)
     window into VMEM once and reuses it for all K diagonals — unlike the XLA
     lowering, which rereads x from HBM per diagonal once it outgrows VMEM.
@@ -66,7 +66,7 @@ def _dia_kernel_windowed(offsets, tile, halo, win, xp_ref, data_ref, out_ref,
     def window_copy(j, s):
         return pltpu.make_async_copy(
             xp_ref.at[pl.ds(j * tile, win)],
-            xwin.at[pl.ds(pl.multiple_of(s * win, 1024), win)],
+            xwin.at[pl.ds(pl.multiple_of(s * win, granule), win)],
             sem.at[s],
         )
 
@@ -80,18 +80,19 @@ def _dia_kernel_windowed(offsets, tile, halo, win, xp_ref, data_ref, out_ref,
 
     window_copy(i, slot).wait()
 
-    base = pl.multiple_of(slot * win, 1024)
+    base = pl.multiple_of(slot * win, granule)
     acc = jnp.zeros((tile,), dtype=jnp.float32)
     pretiled = data_ref.ndim == 3
     for k, d in enumerate(offsets):
-        # Flat 1-D VMEM arrays are (1024,)-tiled, so dynamic load offsets
-        # must be provably multiples of 1024 (vs 128 lanes for 2-D): split
-        # halo+d into an aligned dynamic start and a static remainder slice.
-        q, r = divmod(halo + d, 1024)
-        seg = xwin[pl.ds(base + 1024 * q, tile + 1024)]
+        # Flat 1-D VMEM arrays are tiled in 4 KB granules (1024 f32 / 2048
+        # bf16), so dynamic load offsets must be provably granule-aligned
+        # (vs 128 lanes for 2-D): split halo+d into an aligned dynamic start
+        # and a static remainder slice.
+        q, r = divmod(halo + d, granule)
+        seg = xwin[pl.ds(base + granule * q, tile + granule)]
         xs = jax.lax.slice_in_dim(seg, r, r + tile, axis=0)
         row = data_ref[0, k, :] if pretiled else data_ref[k, :]
-        acc = acc + row.astype(jnp.float32) * xs
+        acc = acc + row.astype(jnp.float32) * xs.astype(jnp.float32)
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
@@ -149,13 +150,16 @@ def spmv_dia_pallas(
 
     if windowed:
         # Mosaic requires matching 1-D DMA tilings: round the window to a
-        # full (8, 128) tile multiple (1024 f32 elements).  +1024 leaves room
-        # for the aligned-load overshoot (1024*q start + tile + 1024 extent).
-        win = tile + 2 * h + 1024
-        win = -(-win // 1024) * 1024
+        # full 4 KB granule (1024 f32 / 2048 bf16 elements).  +granule leaves
+        # room for the aligned-load overshoot.  x keeps ITS OWN dtype (the
+        # operator may be bf16 while x stays f32 — better accuracy, and the
+        # granule follows the x-window tiling).
+        granule = max(4096 // x.dtype.itemsize, 128)
+        win = tile + 2 * h + granule
+        win = -(-win // granule) * granule
         # xp index of x[j] is j + h; window for tile i covers [i*tile, +win).
         # 1-D on purpose: the DMA source must share the 1-D scratch tiling.
-        xp = jnp.pad(x.astype(data_p.dtype), (h, h + (n_pad - n) + win))
+        xp = jnp.pad(x, (h, h + (n_pad - n) + win))
         data_spec = (
             pl.BlockSpec((1, k, tile), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -164,7 +168,9 @@ def spmv_dia_pallas(
                               memory_space=pltpu.VMEM)
         )
         out = pl.pallas_call(
-            functools.partial(_dia_kernel_windowed, offsets, tile, h, win),
+            functools.partial(
+                _dia_kernel_windowed, offsets, tile, h, win, granule
+            ),
             out_shape=jax.ShapeDtypeStruct((n_pad,), x.dtype),
             grid=(grid,),
             in_specs=[
@@ -174,7 +180,7 @@ def spmv_dia_pallas(
             out_specs=pl.BlockSpec((tile,), lambda i: (i,),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2 * win,), data.dtype),   # two x-window slots
+                pltpu.VMEM((2 * win,), x.dtype),      # two x-window slots
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,

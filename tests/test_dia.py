@@ -127,6 +127,16 @@ def test_pallas_dia_windowed_interpret(fem_op):
             )
             assert rel < 1e-6, f"tile={tile} pretiled={pretiled} rel {rel}"
 
+    # bf16 operator + f32 x (mixed-precision matvec_dtype mode)
+    d3_bf16 = pretile_dia(data32.astype(jnp.bfloat16), disc.ndof, tile=256)
+    y = spmv_dia_pallas(dia.offsets, d3_bf16, x, interpret=True,
+                        windowed=True, n=disc.ndof)
+    assert y.dtype == x.dtype
+    rel = np.linalg.norm(np.asarray(y) - np.asarray(y_ref)) / (
+        np.linalg.norm(np.asarray(y_ref))
+    )
+    assert rel < 2e-2, f"bf16 pretiled rel {rel}"
+
 
 def test_dia_overlapping_scalar_diagonals():
     """Block deltas d1 != d2 can share a scalar diagonal (4*d1+e1 == 4*d2+e2);
