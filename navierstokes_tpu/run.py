@@ -89,10 +89,15 @@ def main(argv=None):
         # v5e chip at 121k DoF: ~144 ms/step (newton 2, ~100 GMRES iters).
         newton = NewtonConfig(rtol=1e-4, atol=1e-5, stol=1e-6,
                               du_tol=float("inf"))
+        # two_level agg=48 measured best on one v5e at 121k DoF: 101.6 ms/
+        # step at 53 GMRES iters vs 134.3 ms / 226 iters for block_jacobi
+        # with the Pallas pre-tiled matvec (see PARITY.md).
         krylov = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
-                              neumann_order=2)
+                              neumann_order=0, preconditioner="two_level",
+                              coarse_agg=48)
         stokes = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
-                              neumann_order=2)
+                              neumann_order=0, preconditioner="two_level",
+                              coarse_agg=48)
     else:
         newton = NewtonConfig()
         krylov = SolverConfig()
