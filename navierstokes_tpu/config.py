@@ -30,16 +30,25 @@ class SolverConfig:
     maxiter: int = 2000
     preconditioner: str = "block_jacobi"  # "block_jacobi" | "two_level" |
                                           # "ilu0" | "none"
-    # two_level cuts GMRES iterations ~2.6x at 121k DoF (84 vs 216) and is
-    # validated correct to 1e-13, but its apply currently runs far below
-    # roofline on the axon TPU backend (suspect: the dense coarse GEMV
-    # lowering) — keep block_jacobi as the TPU default until profiled.
+    # two_level (coarse_agg=48) is the measured f32 CLI default on TPU:
+    # 101.6 ms/step at 121k DoF (53 GMRES iters) vs 134.3 ms / 226 iters
+    # for block_jacobi — run.py sets it explicitly; this dataclass default
+    # stays block_jacobi because it needs no aggregation parameters and is
+    # the right pick for small/CPU runs.
     neumann_order: int = 2      # Neumann-series boost of block-Jacobi (0 = plain)
                                 # NOTE: the Neumann series need not converge on
                                 # the indefinite saddle-point system (odd orders
                                 # can diverge); prefer "two_level" for strength
     coarse_agg: int = 64        # nodes per aggregate (two_level)
     coarse_shift: float = 1e-6  # diagonal shift on the coarse operator
+    coarse_dense_max: int = 4096  # max coarse DoF for the dense inverse;
+                                # beyond it the coarse level is kept sparse
+                                # (DIA) and corrected by a SECOND, smaller
+                                # aggregation level whose operator is
+                                # inverted densely — the scalable multilevel
+                                # path (a dense nc x nc inverse is O(nc^2)
+                                # memory / O(nc^3) setup: 452 MB at 511k
+                                # rows, 9.6 GB at 2.35M)
     spmv: str = "auto"          # "auto" | "xla" | "pallas": auto uses the
                                 # Pallas windowed-VMEM kernel on TPU once x
                                 # outgrows VMEM (XLA then rereads x from HBM

@@ -35,7 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 def _dia_kernel(offsets, tile, halo, xp_ref, data_ref, out_ref):
     i = pl.program_id(0)
     base = pl.multiple_of(i * tile, 128)
-    acc = jnp.zeros((tile,), dtype=jnp.float32)
+    # f32 accumulation for low-precision inputs; full width for f64 (the
+    # CPU/interpret validation path).
+    acc_dtype = jnp.promote_types(out_ref.dtype, jnp.float32)
+    acc = jnp.zeros((tile,), dtype=acc_dtype)
     for k, d in enumerate(offsets):
         # Mosaic requires provably-128-aligned dynamic lane offsets: split
         # the static halo+d into an aligned part (dynamic load start) and a
@@ -43,7 +46,7 @@ def _dia_kernel(offsets, tile, halo, xp_ref, data_ref, out_ref):
         q, r = divmod(halo + d, 128)
         seg = xp_ref[0, pl.ds(base + 128 * q, tile + 128)]
         xs = jax.lax.slice_in_dim(seg, r, r + tile, axis=0)
-        acc = acc + data_ref[k, :].astype(jnp.float32) * xs
+        acc = acc + data_ref[k, :].astype(acc_dtype) * xs.astype(acc_dtype)
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
@@ -81,7 +84,8 @@ def _dia_kernel_windowed(offsets, tile, halo, win, granule, xp_ref, data_ref,
     window_copy(i, slot).wait()
 
     base = pl.multiple_of(slot * win, granule)
-    acc = jnp.zeros((tile,), dtype=jnp.float32)
+    acc_dtype = jnp.promote_types(out_ref.dtype, jnp.float32)
+    acc = jnp.zeros((tile,), dtype=acc_dtype)
     pretiled = data_ref.ndim == 3
     for k, d in enumerate(offsets):
         # Flat 1-D VMEM arrays are tiled in 4 KB granules (1024 f32 / 2048
@@ -92,7 +96,7 @@ def _dia_kernel_windowed(offsets, tile, halo, win, granule, xp_ref, data_ref,
         seg = xwin[pl.ds(base + granule * q, tile + granule)]
         xs = jax.lax.slice_in_dim(seg, r, r + tile, axis=0)
         row = data_ref[0, k, :] if pretiled else data_ref[k, :]
-        acc = acc + row.astype(jnp.float32) * xs.astype(jnp.float32)
+        acc = acc + row.astype(acc_dtype) * xs.astype(acc_dtype)
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
@@ -174,7 +178,7 @@ def spmv_dia_pallas(
             out_shape=jax.ShapeDtypeStruct((n_pad,), x.dtype),
             grid=(grid,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),       # x stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),          # x stays in HBM
                 data_spec,
             ],
             out_specs=pl.BlockSpec((tile,), lambda i: (i,),

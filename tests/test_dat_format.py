@@ -57,9 +57,14 @@ def test_spmv_variant_selector():
     dia = dia_from_bcsr(op)
     x = jnp.asarray(np.random.default_rng(1).standard_normal(disc.ndof))
     y_ref = np.asarray(make_spmv("oracle", bcsr=op)(x))
-    for variant in ("ell", "dia"):
+    for variant in ("ell", "dia", "pallas_dia"):
+        # pallas_dia auto-interprets off-TPU (tests run on CPU).
         y = np.asarray(make_spmv(variant, bcsr=op, ell=ell, dia=dia)(x))
         np.testing.assert_allclose(y, y_ref, rtol=1e-11, atol=1e-12,
                                    err_msg=variant)
+    # bf16 operator storage: correct to bf16 roundoff, not f64.
+    y16 = np.asarray(make_spmv("dia_bf16", dia=dia)(x))
+    ynorm = np.linalg.norm(y_ref)
+    assert np.linalg.norm(y16 - y_ref) / ynorm < 2e-2
     with pytest.raises(ValueError, match="unknown spmv variant"):
         make_spmv("avx2")
