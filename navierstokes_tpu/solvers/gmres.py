@@ -1,8 +1,11 @@
 """Restarted GMRES(m) as a jitted `lax.while_loop` — the KSPGMRES equivalent.
 
 Semantics match the reference's solver configuration
-(`src/solve_newton.c:1154-1163`): left preconditioning, modified Gram–Schmidt
-Arnoldi, Givens-rotation least squares, convergence when the preconditioned
+(`src/solve_newton.c:1154-1163`): left preconditioning, CGS2 (twice-iterated
+classical Gram–Schmidt) Arnoldi — numerically as robust as the reference's
+modified Gram–Schmidt but expressed as four fused GEMVs instead of a
+sequential dot/axpy chain — Givens-rotation least squares (vectorized via an
+associative scan over the rotation recurrence), convergence when the preconditioned
 residual norm drops below max(rtol * ||r0||_pre, atol) (PETSc
 `KSPConvergedDefault`), restart length m, total-iteration cap.
 
@@ -94,50 +97,59 @@ def gmres(
             w = w - V.T @ h2
             h = h1 + h2
             hk1 = jnp.linalg.norm(w)
-            h = h.at[m].set(0.0)
-            V_next = V.at[k + 1].set(w / jnp.where(hk1 > 0, hk1, 1.0))
+            # One dynamic-update-slice on the loop-carried buffer; written
+            # unconditionally (on breakdown the row is never read: k does
+            # not advance, y is zero past k_end, and the next restart
+            # rebuilds V) so XLA updates V in place — a conditional
+            # jnp.where(keep, V_next, V) would force a full (m+1, n) copy
+            # plus a 3-buffer select every iteration.
+            V = V.at[k + 1].set(w / jnp.where(hk1 > 0, hk1, 1.0))
 
-            # Apply accumulated Givens rotations to column h[0..k], h[k+1]=hk1
-            def rot(i, hcol):
-                hi = jnp.where(i < k, cs[i] * hcol[i] + sn[i] * hcol[i + 1], hcol[i])
-                hi1 = jnp.where(
-                    i < k, -sn[i] * hcol[i] + cs[i] * hcol[i + 1], hcol[i + 1]
-                )
-                return hcol.at[i].set(hi).at[i + 1].set(hi1)
+            # Apply accumulated rotations 0..k-1 to the new column h[0..k].
+            # The pairwise updates form the first-order linear recurrence
+            #   c_{i+1} = -sn_i c_i + cs_i h_{i+1},  c_0 = h_0
+            # (c_i = value at position i when rotation i arrives), solved in
+            # O(log m) vector steps by associative_scan instead of an m-trip
+            # sequential fori_loop of dynamic scalar updates.
+            idx = jnp.arange(m)
+            lt = idx < k
+            a = jnp.where(lt, -sn, 1.0)
+            b = jnp.where(lt, cs * h[1:], 0.0)
 
-            hcol = h.at[jnp.minimum(k + 1, m)].set(hk1)
-            hcol = jax.lax.fori_loop(0, m, rot, hcol)
+            def compose(first, second):
+                a1, b1 = first
+                a2, b2 = second
+                return a2 * a1, a2 * b1 + b2
 
-            # New Givens zeroing hcol[k+1]
-            a_ = hcol[k]
-            b_ = hcol[jnp.minimum(k + 1, m)]
-            denom = jnp.sqrt(a_ * a_ + b_ * b_)
+            P, Q = jax.lax.associative_scan(compose, (a, b))
+            c = jnp.concatenate([h[:1], P * h[0] + Q])          # (m+1,)
+            # Rotated column: positions < k rotated, k carries c_k, > k keep
+            # h (zero there — the active mask zeroed rows beyond k).
+            col = jnp.where(
+                lt, cs * c[:m] + sn * h[1:],
+                jnp.where(idx == k, c[:m], h[:m]),
+            )
+
+            # New Givens zeroing the subdiagonal entry hk1.
+            a_ = c[k]
+            denom = jnp.sqrt(a_ * a_ + hk1 * hk1)
             # Hard breakdown: the new Hessenberg column vanished entirely
-            # (singular/defective operator). Discard the column and stop —
-            # advancing would make R singular and poison x with NaNs.
+            # (singular/defective operator).  State is written anyway (those
+            # slots are never read once k stops advancing) but k must NOT
+            # advance — a singular R would poison x with NaNs.
             breakdown = denom <= jnp.asarray(1e-300, dtype)
-            c_new = jnp.where(denom > 0, a_ / denom, 1.0)
-            s_new = jnp.where(denom > 0, b_ / denom, 0.0)
-            cs2 = cs.at[k].set(c_new)
-            sn2 = sn.at[k].set(s_new)
-            hcol = hcol.at[k].set(denom).at[jnp.minimum(k + 1, m)].set(0.0)
-            R2 = R.at[:, k].set(hcol[:m])
+            c_new = jnp.where(breakdown, 1.0, a_ / denom)
+            s_new = jnp.where(breakdown, 0.0, hk1 / denom)
+            cs = cs.at[k].set(c_new)
+            sn = sn.at[k].set(s_new)
+            R = R.at[:, k].set(col.at[k].set(denom))
 
             gk = g[k]
-            g2 = g.at[k].set(c_new * gk).at[k + 1].set(-s_new * gk)
-            res_est = jnp.abs(g2[k + 1])
+            g = g.at[k].set(c_new * gk).at[k + 1].set(-s_new * gk)
+            res_est = jnp.abs(g[k + 1])
             # Happy breakdown (hk1 == 0 but column useful) still advances once.
             done = (res_est <= tol) | (hk1 <= 1e-300) | breakdown
-            keep = ~breakdown
-            return (
-                jnp.where(keep, V_next, V),
-                jnp.where(keep, R2, R),
-                jnp.where(keep, cs2, cs),
-                jnp.where(keep, sn2, sn),
-                jnp.where(keep, g2, g),
-                jnp.where(keep, k + 1, k),
-                done,
-            )
+            return (V, R, cs, sn, g, jnp.where(breakdown, k, k + 1), done)
 
         V, R, cs, sn, g, k_end, _ = jax.lax.while_loop(
             inner_cond,
