@@ -126,6 +126,26 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str):
                  lambda u: spmv_dia_pallas(offsets, d3, u, n=disc.ndof), v, k),
              (dia_3d,)),
         ]
+        if kernel == "spm2v":
+            # The fused single-sweep A^2x (`mpk/SpM2V.cpp` analog): reads A
+            # (T+2h)/T times instead of 2 — wins iff the bandwidth h is
+            # small against the tile (the reference's cache-size crossover,
+            # `mpk/log/log_SPM2V.txt`, re-expressed in VMEM terms).
+            from navierstokes_tpu.ops.mpk_pallas import (
+                overlap_ratio,
+                pretile_dia_overlap,
+                spm2v_dia_pallas,
+            )
+
+            ratio = overlap_ratio(disc.ndof, offsets, tile=tile)
+            dov = pretile_dia_overlap(dia_data, disc.ndof, tile=tile,
+                                      offsets=offsets)
+            variants += [
+                (f"DIA Pallas FUSED t={tile} ({ratio:.2f} passes over A vs 2)",
+                 lambda v, d: spm2v_dia_pallas(offsets, d, v, n=disc.ndof,
+                                               tile=tile),
+                 (dov,)),
+            ]
 
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal(disc.ndof), dtype=dtype

@@ -8,10 +8,11 @@ in one sweep over the matrix (`mpk/SpM2V.cpp`, `mpk/SpMVmulti0.cpp`).
 On TPU the same idea splits across two levels:
 
 - **within a chip** there is no cache hierarchy to avoid — HBM streaming is
-  the cost — so `matrix_power` simply chains the DIA fast path inside one
-  jitted computation (one dispatch, XLA-scheduled); a fused Pallas variant
-  that keeps the intermediate vector in VMEM tile-by-tile (ghost-overlap
-  tiling) exists for small-bandwidth operators (see ops/mpk_pallas.py),
+  the cost — so `matrix_power` chains the DIA fast path inside one jitted
+  computation (one dispatch, XLA-scheduled); `ops.mpk_pallas.spm2v_dia_pallas`
+  is the fused single-sweep A^2x variant (ghost-overlap tiling: each tile
+  computes the intermediate y on a halo-extended window in VMEM, reading A
+  once plus halo overlap instead of twice — the `SpM2V.cpp` analog),
 - **across chips** the communication-avoiding structure is real:
   `parallel.partitioned.partitioned_spmv_power` exchanges a k-deep ghost
   layer ONCE and runs k local sweeps — one ICI round instead of k.

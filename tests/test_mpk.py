@@ -49,6 +49,29 @@ def test_matrix_power_vs_chained(system, k):
     assert rel < 1e-12
 
 
+@pytest.mark.parametrize("tile", [128, 256])
+def test_spm2v_fused_vs_chained(system, tile):
+    """Fused single-sweep A^2x == two chained SpMVs (`mpk/SpM2V.cpp` analog),
+    interpret-mode Pallas on CPU, multiple tile/grid shapes."""
+    from navierstokes_tpu.ops.mpk_pallas import (
+        pretile_dia_overlap,
+        spm2v_dia_pallas,
+    )
+
+    disc, op, dia = system
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(disc.ndof))
+    z_ref = spmv_dia(dia.offsets, dia.data,
+                     spmv_dia(dia.offsets, dia.data, x))
+    dov = pretile_dia_overlap(dia.data, disc.ndof, tile=tile,
+                              offsets=dia.offsets)
+    z = spm2v_dia_pallas(dia.offsets, dov, x, n=disc.ndof, tile=tile)
+    rel = np.linalg.norm(np.asarray(z) - np.asarray(z_ref)) / (
+        np.linalg.norm(np.asarray(z_ref))
+    )
+    assert rel < 1e-12, rel
+
+
 def test_matrix_powers_all(system):
     disc, op, dia = system
     rng = np.random.default_rng(1)
@@ -128,6 +151,27 @@ def test_monitor_and_nan_guard(capsys):
     with pytest.raises(FloatingPointError, match="non-finite"):
         s.run(1, u0=jnp.full(s.disc.ndof, jnp.nan), monitor=False,
               check_finite=True)
+
+
+def test_mtx_by_component(system, tmp_path):
+    """The by-component .mtx (`ORDER_BY_COMPONENT`, `src/create_mat.c:55-61`)
+    is the block-node matrix under the permutation 4n+c -> n + c*nv."""
+    from navierstokes_tpu.io.mtx import read_mtx, write_mtx_by_component
+
+    disc, op, dia = system
+    nv = disc.mesh.nv
+    path = str(tmp_path / "op_aij.mtx")
+    write_mtx_by_component(path, op, nv)
+    n, rows, cols, vals = read_mtx(path)
+    assert n == disc.ndof
+    dense_bc = np.zeros((n, n))
+    np.add.at(dense_bc, (rows, cols), vals)
+    dense_bn = op.to_dense()
+    perm = np.arange(n)
+    perm = (perm // 4) + (perm % 4) * nv     # block-node idx -> by-component
+    dense_ref = np.zeros((n, n))
+    dense_ref[np.ix_(perm, perm)] = dense_bn
+    np.testing.assert_allclose(dense_bc, dense_ref, rtol=1e-12, atol=1e-13)
 
 
 def test_mtx_roundtrip(system, tmp_path):
