@@ -63,7 +63,9 @@ def _split_prep(prep):
     """Split a prepared-operator tuple into (static, arrays-pytree)."""
     if prep[0] == "bj":
         return ("bj", prep[1], prep[3]), (prep[2], prep[4])
-    # tl: ("tl", offsets, dia_data, invd_offsets, invd_data, ac_inv, cs)
+    # tl: ("tl", offsets, dia_data, invd_offsets, invd_data, c_arrays,
+    #      c_static) — c_arrays a tuple of device arrays, c_static either
+    # ("dense", cs) or ("ml", cs, c_off, cs2) (see _prepare_operator_dia).
     return ("tl", prep[1], prep[3], prep[6]), (prep[2], prep[4], prep[5])
 
 
@@ -169,20 +171,61 @@ class NavierStokesSolver:
         if cfgk.preconditioner == "two_level":
             from navierstokes_tpu.solvers.coarse import (
                 build_aggregates,
+                coarse_dia_offsets,
+                coarse_operator_dia,
                 coarse_operator_inverse_dia,
             )
 
             if not hasattr(self, "_coarse_space"):
                 self._coarse_space = build_aggregates(d.mesh.nv, cfgk.coarse_agg)
             cs = self._coarse_space
-            ac_inv = coarse_operator_inverse_dia(
-                cs, offsets, dia_data, shift=cfgk.coarse_shift
-            )
+            if cs.nc <= cfgk.coarse_dense_max:
+                ac_inv = coarse_operator_inverse_dia(
+                    cs, offsets, dia_data, shift=cfgk.coarse_shift
+                )
+                c_arrays = (ac_inv,)
+                c_static = ("dense", cs)
+            else:
+                # Scalable multilevel path: the coarse operator stays sparse
+                # (DIA) with block-Jacobi smoothing, and only a SECOND,
+                # smaller aggregation level is inverted densely — replaces
+                # the O(nc^2)-memory dense inverse that cannot run at 511k+
+                # rows (the scale role ILU(k) plays in the reference,
+                # `src/solve_newton.c:1159-1162`).
+                if not hasattr(self, "_coarse_l2"):
+                    c_off = coarse_dia_offsets(offsets, cs.agg_size)
+                    agg2 = max(-(-cs.nc // cfgk.coarse_dense_max), 2)
+                    cs2 = build_aggregates(cs.n_agg, agg2)
+                    if cs2.nc > cfgk.coarse_dense_max:
+                        raise ValueError(
+                            f"second coarse level still too large "
+                            f"(nc2={cs2.nc} > {cfgk.coarse_dense_max}); "
+                            "raise coarse_agg or coarse_dense_max"
+                        )
+                    self._coarse_l2 = (c_off, cs2)
+                c_off, cs2 = self._coarse_l2
+                ac1 = coarse_operator_dia(
+                    cs, offsets, dia_data, c_off, shift=cfgk.coarse_shift
+                )
+                from navierstokes_tpu.sparse.dia import (
+                    block_diag_to_dia as _bd2d,
+                    diag_blocks_from_dia as _dbfd,
+                )
+
+                invd1 = _bd2d(block4_inverse(
+                    _dbfd(c_off, ac1, cs.n_agg), pivot_eps=1e-300, shift=1e-8
+                ))
+                ac2_inv = coarse_operator_inverse_dia(
+                    cs2, c_off, ac1, shift=cfgk.coarse_shift
+                )
+                c_arrays = (ac1, invd1.data, ac2_inv)
+                c_static = ("ml", cs, c_off, cs2)
             if mv_dtype is not None:
                 dia_data = dia_data.astype(jnp.dtype(mv_dtype))
             dia_data = self._maybe_pretile(offsets, dia_data)
             return (
-                "tl", offsets, dia_data, invd.offsets, invd.data, ac_inv, cs,
+                "tl", offsets, dia_data, invd.offsets, invd.data,
+                c_arrays, c_static,
             )
 
         s_offsets, s_data = scale_rows_dia(d.dia_pattern, dia_data, inv_diag)
@@ -250,7 +293,9 @@ class NavierStokesSolver:
         if prep[0] == "tl":
             from navierstokes_tpu.solvers.coarse import prolong, restrict
 
-            _, a_offsets, a_data, invd_offsets, invd_data, ac_inv, cs = prep
+            _, a_offsets, a_data, invd_offsets, invd_data, c_arrays, c_static \
+                = prep
+            cs = c_static[1]
 
             def apply_A(x):
                 return self._spmv(a_offsets, a_data, x)
@@ -258,9 +303,27 @@ class NavierStokesSolver:
             def apply_Dinv(r):
                 return spmv_dia(invd_offsets, invd_data, r)
 
+            if c_static[0] == "dense":
+                def coarse_solve(rc):
+                    return c_arrays[0] @ rc
+            else:
+                # multilevel: the sparse level-1 coarse system is itself
+                # solved by one two-grid cycle (dense level-2 correction +
+                # level-1 block-Jacobi smooth) — same structure, one level
+                # down.
+                _, _, c_off, cs2 = c_static
+                ac1, invd1_data, ac2_inv = c_arrays
+                invd1_off = tuple(range(-3, 4))
+
+                def coarse_solve(rc):
+                    zc = prolong(cs2, ac2_inv @ restrict(cs2, rc))
+                    return zc + spmv_dia(
+                        invd1_off, invd1_data, rc - spmv_dia(c_off, ac1, zc)
+                    )
+
             def minv(r):
                 # multiplicative two-grid: coarse correction + Jacobi smooth
-                z = prolong(cs, ac_inv @ restrict(cs, r))
+                z = prolong(cs, coarse_solve(restrict(cs, r)))
                 return z + apply_Dinv(r - apply_A(z))
 
             def matvec(x):

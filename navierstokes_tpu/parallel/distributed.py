@@ -156,7 +156,9 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
         device computes just its slice of the correction.  Smoothing reuses
         the partitioned DIA SpMV (one halo exchange each for A z and D^-1 r).
         """
-        _, a_offsets, a_data, invd_offsets, invd_data, ac_inv, cs = prep
+        _, a_offsets, a_data, invd_offsets, invd_data, c_arrays, c_static \
+            = prep
+        cs = c_static[1]
         agg = cs.agg_size
         halo = max(max(abs(d) for d in a_offsets), 1)
         n = self.disc.ndof
@@ -168,12 +170,11 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
         invd_p = jnp.pad(invd_data, ((0, 0), (0, pad)))
         b = jnp.pad(rhs, (0, pad))
         # Coarse DoF count over the padded rows; extra (padding) aggregates
-        # get zero rows in the inverse => zero correction, and the row mask
-        # keeps padding rows of z identically zero so padded Krylov iterates
-        # stay zero (the invariant the bj path gets for free).
+        # get zero correction, and the row mask keeps padding rows of z
+        # identically zero so padded Krylov iterates stay zero (the
+        # invariant the bj path gets for free).
         nc_pad = n_pad // agg
         nc = cs.nc
-        ac_inv_p = jnp.pad(ac_inv, ((0, nc_pad - nc), (0, nc_pad - nc)))
         mask = (jnp.arange(n_pad) < n).astype(b.dtype)
 
         def apply_A(x):
@@ -182,27 +183,75 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
         def apply_Dinv(x):
             return partitioned_spmv_dia(dmesh, ax, invd_offsets, invd_p, x, ndev)
 
-        def _coarse_body(r_loc, acinv_loc, mask_loc):
-            # local restriction: sum each aggregate, per component
-            rc_loc = r_loc.reshape(-1, agg, 4).sum(axis=1).reshape(-1)
-            rc = jax.lax.all_gather(rc_loc, ax, tiled=True)   # (nc_pad,) tiny
-            zc_loc = acinv_loc @ rc                           # own coarse rows
-            z_loc = jnp.broadcast_to(
-                zc_loc.reshape(-1, 1, 4),
-                (zc_loc.shape[0] // 4, agg, 4),
-            ).reshape(-1)
-            return z_loc * mask_loc
+        if c_static[0] == "dense":
+            # Dense coarse inverse, row-sharded: each device computes just
+            # its slice of the correction from the all_gathered restriction.
+            ac_inv_p = jnp.pad(
+                c_arrays[0], ((0, nc_pad - nc), (0, nc_pad - nc))
+            )
 
-        coarse_correct = jax.shard_map(
-            _coarse_body,
-            mesh=dmesh,
-            in_specs=(P(ax), P(ax, None), P(ax)),
-            out_specs=P(ax),
-        )
+            def _coarse_body(r_loc, acinv_loc, mask_loc):
+                # local restriction: sum each aggregate, per component
+                rc_loc = r_loc.reshape(-1, agg, 4).sum(axis=1).reshape(-1)
+                rc = jax.lax.all_gather(rc_loc, ax, tiled=True)  # (nc_pad,)
+                zc_loc = acinv_loc @ rc                      # own coarse rows
+                z_loc = jnp.broadcast_to(
+                    zc_loc.reshape(-1, 1, 4),
+                    (zc_loc.shape[0] // 4, agg, 4),
+                ).reshape(-1)
+                return z_loc * mask_loc
 
-        def minv(r):
-            z = coarse_correct(r, ac_inv_p, mask)
-            return z + apply_Dinv(r - apply_A(z))
+            coarse_correct = jax.shard_map(
+                _coarse_body,
+                mesh=dmesh,
+                in_specs=(P(ax), P(ax, None), P(ax)),
+                out_specs=P(ax),
+            )
+
+            def minv(r):
+                z = coarse_correct(r, ac_inv_p, mask)
+                return z + apply_Dinv(r - apply_A(z))
+        else:
+            # Multilevel coarse (nc too big for a dense inverse): the coarse
+            # system is small relative to the fine grid, so each device
+            # solves it REPLICATED (one two-grid cycle on the all_gathered
+            # restriction — dense level-2 correction + level-1 block-Jacobi
+            # smooth) and keeps its own slice.  Communication stays one tiny
+            # all_gather per apply.
+            from navierstokes_tpu.ops.spmv import spmv_dia
+            from navierstokes_tpu.solvers.coarse import prolong, restrict
+
+            _, _, c_off, cs2 = c_static
+            ac1, invd1_data, ac2_inv = c_arrays
+            invd1_off = tuple(range(-3, 4))
+            chunk = nc_pad // ndev
+
+            def _coarse_body_ml(r_loc, ac1_r, invd1_r, ac2_r, mask_loc):
+                rc_loc = r_loc.reshape(-1, agg, 4).sum(axis=1).reshape(-1)
+                rc = jax.lax.all_gather(rc_loc, ax, tiled=True)[:nc]
+                zc = prolong(cs2, ac2_r @ restrict(cs2, rc))
+                zc = zc + spmv_dia(invd1_off, invd1_r,
+                                   rc - spmv_dia(c_off, ac1_r, zc))
+                zc = jnp.pad(zc, (0, nc_pad - nc))
+                zc_loc = jax.lax.dynamic_slice(
+                    zc, (jax.lax.axis_index(ax) * chunk,), (chunk,)
+                )
+                z_loc = jnp.broadcast_to(
+                    zc_loc.reshape(-1, 1, 4),
+                    (zc_loc.shape[0] // 4, agg, 4),
+                ).reshape(-1)
+                return z_loc * mask_loc
+
+            coarse_correct = jax.shard_map(
+                _coarse_body_ml,
+                mesh=dmesh,
+                in_specs=(P(ax), P(), P(), P(), P(ax)),
+                out_specs=P(ax),
+            )
+
+            def minv(r):
+                z = coarse_correct(r, ac1, invd1_data, ac2_inv, mask)
+                return z + apply_Dinv(r - apply_A(z))
 
         def matvec(x):
             return minv(apply_A(x))

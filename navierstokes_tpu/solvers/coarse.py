@@ -74,6 +74,61 @@ def prolong(cs: CoarseSpace, rc):
     return out[: cs.nb].reshape(-1)
 
 
+def coarse_dia_offsets(offsets: tuple, agg: int) -> tuple:
+    """Static coarse-level DIA offsets produced by contiguous aggregation.
+
+    The scalar index map ic = 4*((i//4)//agg) + i%4 is exactly periodic in i
+    with period L = 4*agg (shifting i by L shifts ic by 4), so enumerating
+    one interior period yields every offset jc - ic a valid fine entry can
+    produce; boundary rows are residue classes of the same period.
+    """
+    L = 4 * agg
+    h = max(abs(d) for d in offsets)
+    base = (h // L + 1) * L                    # interior: j = i + d >= 0
+    out = set()
+    for r in range(L):
+        i = base + r
+        ic = 4 * ((i // 4) // agg) + i % 4
+        for d in offsets:
+            j = i + d
+            jc = 4 * ((j // 4) // agg) + j % 4
+            out.add(jc - ic)
+    return tuple(sorted(out))
+
+
+def coarse_operator_dia(
+    cs: CoarseSpace, offsets: tuple, data, coarse_offsets: tuple,
+    *, shift: float = 0.0
+):
+    """Sparse Galerkin coarse operator A_c = R A P in scalar-DIA form.
+
+    The scalable alternative to `coarse_operator_inverse_dia` when nc is too
+    large to invert densely: contiguous aggregation of a banded operator is
+    itself banded, with Kc = len(coarse_offsets) diagonals.  One (ndof,)
+    scatter per fine diagonal (jittable; pattern static)."""
+    K, ndof = data.shape
+    nc = cs.nc
+    agg = cs.agg_size
+    kc_n = len(coarse_offsets)
+    co = jnp.asarray(coarse_offsets)
+    i = jnp.arange(ndof)
+    ic = 4 * ((i // 4) // agg) + (i % 4)
+    flat = jnp.zeros(kc_n * nc, dtype=data.dtype)
+    for k, d in enumerate(offsets):
+        j = i + d
+        valid = (j >= 0) & (j < ndof)
+        j_cl = jnp.clip(j, 0, ndof - 1)
+        jc = 4 * ((j_cl // 4) // agg) + (j_cl % 4)
+        kc = jnp.searchsorted(co, jc - ic)
+        # invalid entries contribute 0 wherever their (clipped) slot lands
+        flat = flat.at[kc * nc + ic].add(jnp.where(valid, data[k], 0.0))
+    ac = flat.reshape(kc_n, nc)
+    if shift:
+        k0 = coarse_offsets.index(0)
+        ac = ac.at[k0].add(shift)
+    return ac
+
+
 def coarse_operator_inverse_dia(
     cs: CoarseSpace, offsets: tuple, data, *, shift: float = 0.0
 ):

@@ -241,6 +241,33 @@ def test_residual_modes_agree(problem):
     assert err < 1e-10, f"residual-mode disagreement {err}"
 
 
+def test_two_level_multilevel_coarse(problem):
+    """two_level with the coarse level too large for a dense inverse
+    (coarse_dense_max forces the sparse-DIA + second-level path) reaches the
+    same state as the plain block-Jacobi path."""
+    import dataclasses
+
+    mesh = problem
+    kr_ml = SolverConfig(rtol=1e-12, atol=1e-13, maxiter=4000,
+                         preconditioner="two_level", coarse_agg=4,
+                         coarse_dense_max=32)
+    cfg_ml = dataclasses.replace(CFG, krylov=kr_ml,
+                                 stokes_krylov=dataclasses.replace(
+                                     kr_ml, rtol=1e-13))
+    s_ml = NavierStokesSolver(mesh, cfg_ml)
+    # the guard actually chose the multilevel path
+    assert s_ml._exact_prep[6][0] == "ml"
+    s_bj = NavierStokesSolver(mesh, CFG)
+    u0 = s_bj.stokes_init()
+    u_ml, _, st_ml = s_ml.step(u0, u0, jnp.zeros_like(u0))
+    u_bj, _, st_bj = s_bj.step(u0, u0, jnp.zeros_like(u0))
+    assert bool(st_ml.converged) and bool(st_bj.converged)
+    err = np.linalg.norm(np.asarray(u_ml) - np.asarray(u_bj)) / (
+        np.linalg.norm(np.asarray(u_bj))
+    )
+    assert err < 1e-8, f"multilevel two_level disagreement {err}"
+
+
 def test_ca_gmres_method_in_model(problem):
     """method='ca_gmres' reaches the same state as standard GMRES."""
     import dataclasses

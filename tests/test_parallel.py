@@ -292,3 +292,34 @@ def test_distributed_two_level_matches_single_chip():
         np.linalg.norm(np.asarray(u_single))
     )
     assert err < 1e-8, f"two-level multi-chip vs single-chip error {err}"
+
+
+def test_distributed_multilevel_coarse_matches_single_chip():
+    """Distributed MULTILEVEL two-level (sparse coarse + dense second level,
+    forced via coarse_dense_max) == single chip: the coarse cycle runs
+    replicated per device off one tiny all_gather."""
+    import dataclasses
+
+    kr = SolverConfig(rtol=1e-12, atol=1e-13, maxiter=4000,
+                      preconditioner="two_level", coarse_agg=4,
+                      coarse_dense_max=32)
+    cfg = NSConfig(
+        dt=0.01, t_final=0.02, reynolds=100.0, delta=0.1, dtype="float64",
+        krylov=kr,
+        stokes_krylov=dataclasses.replace(kr, rtol=1e-13),
+    )
+    mesh = channel_mesh(12, 2, 2, length=6.0)
+
+    single = NavierStokesSolver(mesh, cfg)
+    assert single._exact_prep[6][0] == "ml"
+    u_single = single.run(2, monitor=False)
+
+    dist, _ = DistributedNavierStokesSolver.from_mesh(
+        mesh, cfg, devices=jax.devices()[:N_DEV]
+    )
+    u_dist = dist.run(2, monitor=False)
+
+    err = np.linalg.norm(np.asarray(u_dist) - np.asarray(u_single)) / (
+        np.linalg.norm(np.asarray(u_single))
+    )
+    assert err < 1e-8, f"multilevel multi-chip vs single-chip error {err}"
