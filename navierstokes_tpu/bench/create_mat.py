@@ -34,7 +34,7 @@ def main(argv=None):
         build_discretization,
     )
     from navierstokes_tpu.fem.dirichlet import zero_rows_bcsr
-    from navierstokes_tpu.io.mtx import write_mtx
+    from navierstokes_tpu.io.mtx import write_mtx, write_mtx_by_component
     from navierstokes_tpu.mesh.box import scaling_series_mesh
     from navierstokes_tpu.mesh.gmsh import read_gmsh
     from navierstokes_tpu.sparse.bcsr import BCSR4
@@ -79,6 +79,15 @@ def main(argv=None):
     op = BCSR4(indptr=op.indptr, indices=op.indices, values=values)
 
     os.makedirs(args.out, exist_ok=True)
+    # The reference emits the operator three ways per mesh
+    # (`src/create_mat.c:376-484`): AIJ by-component (node + comp*nv), AIJ
+    # block-node scalar (4*node + comp, "aijp"), and BAIJ4 block-node.  The
+    # two block-node scalar expansions carry identical entries; the blocked
+    # one additionally gets the .npz with the block structure.
+    aij_path = os.path.join(args.out, f"{name}_aij.mtx")
+    write_mtx_by_component(aij_path, op, mesh.nv)
+    aijp_path = os.path.join(args.out, f"{name}_aijp.mtx")
+    write_mtx(aijp_path, op)
     mtx_path = os.path.join(args.out, f"{name}_baij4.mtx")
     write_mtx(mtx_path, op)
     npz_path = os.path.join(args.out, f"{name}_baij4.npz")
@@ -88,7 +97,7 @@ def main(argv=None):
         indices=op.indices,
         values=np.asarray(op.values),
     )
-    print(f"wrote {mtx_path} and {npz_path}: "
+    print(f"wrote {aij_path}, {aijp_path}, {mtx_path} and {npz_path}: "
           f"{disc.ndof} rows, {op.nnz} nonzeros")
 
 

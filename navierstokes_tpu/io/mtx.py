@@ -14,21 +14,44 @@ import numpy as np
 from navierstokes_tpu.sparse.bcsr import BCSR4
 
 
-def write_mtx(path: str, m: BCSR4) -> None:
-    """Write a BCSR4 as scalar MatrixMarket coordinate general real."""
+def _scalar_coo(m: BCSR4):
+    """Expand BCSR4 blocks to scalar COO in block-node ordering (4n+comp)."""
     rows = m.row_ids().astype(np.int64)
     cols = m.indices.astype(np.int64)
-    vals = np.asarray(m.values)
-    n = 4 * m.nb
+    a = np.arange(4, dtype=np.int64)
+    shape = (len(rows), 4, 4)
+    r = np.broadcast_to(4 * rows[:, None, None] + a[None, :, None], shape)
+    c = np.broadcast_to(4 * cols[:, None, None] + a[None, None, :], shape)
+    v = np.asarray(m.values).reshape(-1)
+    return r.reshape(-1), c.reshape(-1), v
+
+
+def _write_mtx_coo(path: str, n: int, r, c, v) -> None:
     with open(path, "w") as f:
         f.write("%%MatrixMarket matrix coordinate real general\n")
-        f.write(f"{n} {n} {m.nnzb * 16}\n")
-        for k in range(m.nnzb):
-            base_r, base_c = 4 * rows[k], 4 * cols[k]
-            blk = vals[k]
-            for a in range(4):
-                for b in range(4):
-                    f.write(f"{base_r + a + 1} {base_c + b + 1} {blk[a, b]:.17g}\n")
+        f.write(f"{n} {n} {len(v)}\n")
+        np.savetxt(f, np.column_stack([r + 1, c + 1, v]),
+                   fmt="%d %d %.17g")
+
+
+def write_mtx(path: str, m: BCSR4) -> None:
+    """Write a BCSR4 as scalar MatrixMarket coordinate general real
+    (block-node DoF ordering, 4*node + component — the reference's
+    `matrix_aijp`/`matrix_baij4` scalar content, `src/create_mat.c:412-484`)."""
+    r, c, v = _scalar_coo(m)
+    _write_mtx_coo(path, 4 * m.nb, r, c, v)
+
+
+def write_mtx_by_component(path: str, m: BCSR4, nv: int) -> None:
+    """Write a BCSR4 in the reference's ORDER_BY_COMPONENT scalar ordering:
+    all u_x rows first, then u_y, u_z, p (node + comp*nv —
+    `src/create_mat.c:55-61`, output `:376-409`).  Entries are the block-node
+    matrix under the permutation 4*node + comp -> node + comp*nv."""
+    assert m.nb == nv
+    r, c, v = _scalar_coo(m)
+    pr = (r // 4) + (r % 4) * nv
+    pc = (c // 4) + (c % 4) * nv
+    _write_mtx_coo(path, 4 * nv, pr, pc, v)
 
 
 def read_mtx(path: str):
