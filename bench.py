@@ -74,6 +74,15 @@ def main():
         disc.dia_elem_map, terms=LINEAR_TERMS, K=pat.K, ndof=disc.ndof,
     )
     offsets = pat.offsets
+
+    # Memory footprint per variant (the `src/benchmark_spmv.c:167-207`
+    # analog) — on TPU the design argument is HBM-traffic-shaped, so the
+    # bytes each layout streams per SpMV matter as much as the time.
+    raw = nnz * dtype.itemsize
+    log(f"operator footprint: raw nnz       {raw / 1e6:8.1f} MB")
+    log(f"operator footprint: DIA (K={pat.K:3d})  "
+        f"{dia_data.nbytes / 1e6:8.1f} MB ({dia_data.nbytes / raw:.2f}x "
+        "inflation; pretiled copy adds the padded tail only)")
     t_dia = fit_time(lambda v, data: spmv_dia(offsets, data, v), x,
                      operands=(dia_data,))
     log(f"spmv DIA (XLA) f32: {t_dia * 1e6:8.1f} us -> "
@@ -103,17 +112,72 @@ def main():
     )
     ell = bell_from_bcsr(op)
     idx = jnp.asarray(ell.indices)
+    ell_bytes = ell.values.nbytes + idx.nbytes
+    log(f"operator footprint: block-ELL    {ell_bytes / 1e6:8.1f} MB "
+        f"({ell_bytes / raw:.2f}x)")
     t_ell = fit_time(lambda v, vals: spmv_bell(idx, vals, v), x,
                      operands=(ell.values,))
     log(f"spmv ELL f32:  {t_ell * 1e6:8.1f} us -> {2 * nnz / t_ell / 1e9:7.1f} GFLOP/s")
 
     log(f"vs reference AVX2 3.457 ms: {3.457e-3 / t_best:.0f}x faster")
+
+    # Solver-level numbers: per-step time of the flagship transient at the
+    # same 121k DoF (run.py f32 defaults: two_level agg=48, exact Jacobian,
+    # operator residual).  Tracks the PRODUCT, not just the kernel, so a
+    # regression in iterations/preconditioning shows up in BENCH_r*.json.
+    del dia_data, op, ell, idx
+    step_ms, newton_iters, lin_iters = bench_solver_step(mesh)
+
     print(json.dumps({
         "metric": "spmv_gflops_121k_ns_matrix",
         "value": round(gflops, 2),
         "unit": "GFLOP/s",
         "vs_baseline": round(gflops / BASELINE_GFLOPS, 2),
+        "step_ms_121k": round(step_ms, 1),
+        "newton_iters": newton_iters,
+        "lin_iters": lin_iters,
     }))
+
+
+def bench_solver_step(mesh, n_steps: int = 10):
+    """Median per-step wall time of the jitted Newton step at 121k DoF.
+
+    Steps are naturally chained (u feeds the next step), so dispatching
+    n_steps and blocking once amortizes the ~28 ms relay sync latency.
+    """
+    import time
+
+    import jax.numpy as jnp
+
+    from navierstokes_tpu.config import NewtonConfig, NSConfig, SolverConfig
+    from navierstokes_tpu.model import NavierStokesSolver
+
+    krylov = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
+                          neumann_order=0, preconditioner="two_level",
+                          coarse_agg=48)
+    cfg = NSConfig(
+        dt=1e-3, reynolds=300.0, delta=0.05, dtype="float32",
+        newton=NewtonConfig(rtol=1e-4, atol=1e-5, stol=1e-6,
+                            du_tol=float("inf")),
+        krylov=krylov, stokes_krylov=krylov,
+    )
+    solver = NavierStokesSolver(mesh, cfg)
+    u = solver.stokes_init()
+    u.block_until_ready()
+    u_old, du = u, jnp.zeros_like(u)
+    # warmup: compile the step
+    u1, du1, stats = solver.step(u, u_old, du)
+    u1.block_until_ready()
+    t0 = time.perf_counter()
+    u_prev, u_cur, du_cur = u, u1, du1
+    for _ in range(n_steps):
+        u_next, du_cur, stats = solver.step(u_cur, u_prev, du_cur)
+        u_prev, u_cur = u_cur, u_next
+    u_cur.block_until_ready()
+    dt_step = (time.perf_counter() - t0) / n_steps
+    log(f"transient step (121k, two_level agg=48): {dt_step * 1e3:8.1f} ms "
+        f"newton={int(stats.iters)} lin={int(stats.lin_iters)}")
+    return dt_step * 1e3, int(stats.iters), int(stats.lin_iters)
 
 
 if __name__ == "__main__":
