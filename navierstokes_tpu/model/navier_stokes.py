@@ -106,10 +106,13 @@ class NavierStokesSolver:
         if self.cfg.residual == "operator":
             # Operator-form residual: F = A_lin u - (M/dt) u_old, both as
             # constant DIA operators (no per-iteration element scatter).
-            self._res_A = self._jlin_dia
-            self._res_M = self._assemble_dia(
+            # Pretiled on TPU: the row-major XLA DIA SpMV is bimodal and was
+            # measured in its ~450 us mode inside the step graph.
+            offs = self.disc.dia_pattern.offsets
+            self._res_A = self._maybe_pretile(offs, self._jlin_dia)
+            self._res_M = self._maybe_pretile(offs, self._assemble_dia(
                 dummy_UL, frozenset({"mass_dt_bare"})
-            )
+            ))
 
         # All large device arrays flow into the jitted step/stokes functions
         # as ARGUMENTS (this pytree), never as closure captures: closure
@@ -141,6 +144,16 @@ class NavierStokesSolver:
             d.tets, d.vol, d.grad, d.h, UL, self.cfg.dt, self.cfg.reynolds,
             self.cfg.delta, d.dia_elem_map, terms=terms,
             K=d.dia_pattern.K, ndof=d.ndof,
+        )
+
+    def _assemble_dia_c(self, consts, UL, terms, reynolds):
+        """Jit-time DIA assembly from the consts pytree (overridable: the
+        distributed solver reroutes this to per-shard element ranges)."""
+        d = self.disc
+        return assemble_dia_values(
+            consts["tets"], consts["vol"], consts["grad"], consts["h"],
+            UL, self.cfg.dt, reynolds, self.cfg.delta, consts["elem_map"],
+            terms=terms, K=d.dia_pattern.K, ndof=d.ndof,
         )
 
     # -- operator plumbing --------------------------------------------------
@@ -288,6 +301,22 @@ class NavierStokesSolver:
             return spmv_dia_pallas(offsets, data, x)
         return spmv_dia(offsets, data, x)
 
+    def _spmv_small(self, offsets, data, x):
+        """Few-diagonal SpMV (block-diagonal D^{-1} applies, coarse level).
+
+        XLA's own DIA lowering of the 7-diagonal apply is pathological when
+        composed into the full preconditioned-matvec graph on TPU (measured
+        41 us standalone but ~800 us effective inside the two-level matvec —
+        a buffer-placement failure, see benchlogs/gmres_decomposition.txt);
+        the Pallas kernel is stable and 3x faster standalone (12 us)."""
+        if jax.default_backend() == "tpu" and data.dtype in (
+            jnp.float32, jnp.bfloat16
+        ):
+            from navierstokes_tpu.ops.pallas_dia import spmv_dia_pallas
+
+            return spmv_dia_pallas(offsets, data, x)
+        return spmv_dia(offsets, data, x)
+
     def _solve_prepared(self, prep, rhs, solver_cfg):
         """Left-preconditioned GMRES on the prepared operator."""
         if prep[0] == "tl":
@@ -301,7 +330,7 @@ class NavierStokesSolver:
                 return self._spmv(a_offsets, a_data, x)
 
             def apply_Dinv(r):
-                return spmv_dia(invd_offsets, invd_data, r)
+                return self._spmv_small(invd_offsets, invd_data, r)
 
             if c_static[0] == "dense":
                 def coarse_solve(rc):
@@ -317,8 +346,9 @@ class NavierStokesSolver:
 
                 def coarse_solve(rc):
                     zc = prolong(cs2, ac2_inv @ restrict(cs2, rc))
-                    return zc + spmv_dia(
-                        invd1_off, invd1_data, rc - spmv_dia(c_off, ac1, zc)
+                    return zc + self._spmv_small(
+                        invd1_off, invd1_data,
+                        rc - self._spmv_small(c_off, ac1, zc),
                     )
 
             def minv(r):
@@ -348,7 +378,7 @@ class NavierStokesSolver:
             def matvec(x):
                 return neumann(apply_S(x))
 
-            b_eff = neumann(spmv_dia(invd_offsets, invd_data, rhs))
+            b_eff = neumann(self._spmv_small(invd_offsets, invd_data, rhs))
 
         if solver_cfg.method == "cg":
             # For SPD sub-problems routed through the same machinery; the
@@ -385,11 +415,8 @@ class NavierStokesSolver:
         d, cfg = self.disc, self.cfg
         dummy_UL = jnp.zeros((d.ne, 3, 4), dtype=self.dtype)
         # Stokes uses the small Stokes Reynolds number (`:1038`).
-        stokes_dia = assemble_dia_values(
-            consts["tets"], consts["vol"], consts["grad"], consts["h"],
-            dummy_UL, cfg.dt, cfg.stokes_reynolds, cfg.delta,
-            consts["elem_map"], terms=STOKES_TERMS, K=d.dia_pattern.K,
-            ndof=d.ndof,
+        stokes_dia = self._assemble_dia_c(
+            consts, dummy_UL, STOKES_TERMS, cfg.stokes_reynolds
         )
         stokes_dia = zero_rows_dia(
             d.dia_pattern.offsets, stokes_dia, consts["bc_is_bc"]
@@ -420,7 +447,7 @@ class NavierStokesSolver:
 
         def residual(u):
             if cfg.residual == "operator":
-                return spmv_dia(offsets, consts["res_A"], u) - spmv_dia(
+                return self._spmv(offsets, consts["res_A"], u) - self._spmv(
                     offsets, consts["res_M"], u_old
                 )
             return assemble_residual(
@@ -454,11 +481,8 @@ class NavierStokesSolver:
                     from navierstokes_tpu.sparse.dia import zero_rows_dia
 
                     UL, _ = local_fields(consts["tets"], u)
-                    jnl = assemble_dia_values(
-                        consts["tets"], consts["vol"], consts["grad"],
-                        consts["h"], UL, cfg.dt, cfg.reynolds, cfg.delta,
-                        consts["elem_map"], terms=NONLINEAR_TERMS,
-                        K=d.dia_pattern.K, ndof=d.ndof,
+                    jnl = self._assemble_dia_c(
+                        consts, UL, NONLINEAR_TERMS, cfg.reynolds
                     )
                     values = zero_rows_dia(
                         offsets, consts["jlin_dia"] + jnl, is_bc
