@@ -314,3 +314,140 @@ def partitioned_spmv_power(
     if return_all:
         return y4.reshape(4 * part.nb_pad, k)
     return y4.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned assembly (sharded setup — no per-device replication)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ElementPartition:
+    """Static per-shard element ranges for distributed DIA assembly.
+
+    Elements are assigned to the device owning their minimum scalar row;
+    an element's row span is bounded by the scalar halo (the max |col-row|
+    of the DIA pattern covers every intra-element node pair), so each
+    device's scatter targets fit a (K, L + halo) local buffer and ONE
+    right-neighbor ppermute of the halo columns completes the assembly.
+    The reference assembles serially into one address space
+    (`src/solve_newton.c:200-615`); this is its domain-decomposed analog.
+    """
+
+    n_devices: int
+    L: int                        # scalar rows per device
+    halo: int
+    n_pad: int                    # n_devices * L
+    e_max: int                    # padded elements per device
+    perm: np.ndarray              # (P*e_max,) element id, clipped for pads
+    local_map: np.ndarray         # (P*e_max, 256) scatter map into (K, L+halo)
+    K: int
+    ndof: int
+
+
+def build_element_partition(
+    tets: np.ndarray, dia_elem_map: np.ndarray, ndof: int, K: int,
+    halo: int, n_devices: int,
+) -> ElementPartition:
+    ne = tets.shape[0]
+    P_ = n_devices
+    L = max(-(-ndof // P_), halo)
+    n_pad = P_ * L
+    Lh = L + halo
+
+    min_row = 4 * np.asarray(tets).min(axis=1).astype(np.int64)
+    dev = np.minimum(min_row // L, P_ - 1)
+    order = np.argsort(dev, kind="stable")
+    counts = np.bincount(dev, minlength=P_)
+    e_max = max(int(counts.max()), 1)
+
+    perm = np.zeros(P_ * e_max, dtype=np.int64)
+    sacrificial = np.full(256, K * Lh, dtype=np.int64)
+    local_map = np.tile(sacrificial, (P_ * e_max, 1))
+    gmap = np.asarray(dia_elem_map).reshape(ne, 256)
+    pos = 0
+    for d in range(P_):
+        c = int(counts[d])
+        ids = order[pos:pos + c]
+        pos += c
+        sl = slice(d * e_max, d * e_max + c)
+        perm[sl] = ids
+        g = gmap[ids]
+        k = g // ndof
+        r = g % ndof
+        local_map[sl] = k * Lh + (r - d * L)
+    return ElementPartition(
+        n_devices=P_, L=L, halo=halo, n_pad=n_pad, e_max=e_max,
+        perm=perm, local_map=local_map, K=K, ndof=ndof,
+    )
+
+
+def partitioned_assemble_dia(
+    epart: ElementPartition,
+    mesh: Mesh,
+    axis: str,
+    grad_p, vol_p, h_p, UL_p, map_p,
+    dt, reynolds, delta,
+    *, terms, chunk: int = 16384,
+):
+    """Sharded DIA assembly: each device scatters only ITS elements.
+
+    Inputs are the element arrays pre-permuted by `ElementPartition.perm`
+    (leading dim P*e_max, sharded over `axis`); padded element rows carry an
+    all-sacrificial scatter map so their (possibly garbage) blocks never
+    land in real slots.  Returns the (K, n_pad) global DIA data sharded
+    over its row dimension — slice [:, :ndof] for the API view.
+    """
+    from navierstokes_tpu.fem import elements as el
+
+    K, L, halo, n_dev = epart.K, epart.L, epart.halo, epart.n_devices
+    Lh = L + halo
+    e_max = epart.e_max
+    dtype = vol_p.dtype
+
+    def one(g, v, hh, ul):
+        return el.element_node_blocks(
+            g, v, hh, ul, dt, reynolds, delta, terms=terms
+        ).reshape(256)
+
+    def body(g, v, hh, ul, m):
+        flat = jnp.zeros(K * Lh + 1, dtype=dtype)
+        if e_max <= chunk:
+            blocks = jax.vmap(one)(g, v, hh, ul)
+            flat = flat.at[m.reshape(-1)].add(blocks.reshape(-1))
+        else:
+            n_chunks = -(-e_max // chunk)
+            pad = n_chunks * chunk - e_max
+            g2 = jnp.pad(g, ((0, pad), (0, 0), (0, 0)))
+            v2 = jnp.pad(v, (0, pad))
+            h2 = jnp.pad(hh, (0, pad))
+            ul2 = jnp.pad(ul, ((0, pad), (0, 0), (0, 0)))
+            m2 = jnp.pad(m, ((0, pad), (0, 0)), constant_values=K * Lh)
+
+            def cbody(c, acc):
+                s = c * chunk
+                blocks = jax.vmap(one)(
+                    jax.lax.dynamic_slice_in_dim(g2, s, chunk),
+                    jax.lax.dynamic_slice_in_dim(v2, s, chunk),
+                    jax.lax.dynamic_slice_in_dim(h2, s, chunk),
+                    jax.lax.dynamic_slice_in_dim(ul2, s, chunk),
+                )
+                mm = jax.lax.dynamic_slice_in_dim(m2, s, chunk)
+                return acc.at[mm.reshape(-1)].add(blocks.reshape(-1))
+
+            flat = jax.lax.fori_loop(0, n_chunks, cbody, flat)
+        loc = flat[:-1].reshape(K, Lh)
+        own, overflow = loc[:, :L], loc[:, L:]
+        if n_dev > 1:
+            recv = jax.lax.ppermute(
+                overflow, axis, [(i, i + 1) for i in range(n_dev - 1)]
+            )
+            own = own.at[:, :halo].add(recv)
+        return own
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(None, axis),
+    )(grad_p, vol_p, h_p, UL_p, map_p)
