@@ -169,13 +169,44 @@ class ILU0Preconditioner:
             x[i] = vals[di] @ acc
         return x.reshape(-1)
 
-    def __call__(self, r):
+    def solve_host_transpose(self, r: np.ndarray) -> np.ndarray:
+        """x = (LU)^{-T} r — the transposed block triangular solves.
+
+        Counterpart of the reference's MatSolveTranspose kernel
+        (`src/kernels/baij4_factor_avx2.c:399-498`): (LU)^T = U^T L^T, so
+        first a forward sweep with U^T (lower triangular; the stored inverted
+        diagonal transposes into the inverted diagonal of U^T), then a
+        backward sweep with the unit-diagonal L^T.  Both sweeps scatter each
+        computed block down/up the columns — the CSR-transpose saxpy form.
+        """
+        nb = self.nb
+        indptr, indices, vals = self.indptr, self.indices, self.vals
+        work = np.array(np.asarray(r, dtype=np.float64).reshape(nb, 4))
+        y = np.zeros_like(work)
+        for i in range(nb):                     # U^T y = r (forward)
+            di = self.row_slots[i][i]
+            y[i] = vals[di].T @ work[i]
+            for s in range(di + 1, indptr[i + 1]):
+                work[int(indices[s])] -= vals[s].T @ y[i]
+        x = np.zeros_like(work)
+        for i in range(nb - 1, -1, -1):         # L^T x = y (backward)
+            x[i] = y[i]
+            for s in range(indptr[i], indptr[i + 1]):
+                j = int(indices[s])
+                if j >= i:
+                    break
+                y[j] -= vals[s].T @ x[i]
+        return x.reshape(-1)
+
+    def __call__(self, r, transpose: bool = False):
         # Works inside jitted/while_loop'd solvers via a host callback (CPU
         # oracle path only — never the TPU performance path).
         import jax
 
+        solve = self.solve_host_transpose if transpose else self.solve_host
+
         def cb(rr):
-            return self.solve_host(np.asarray(rr)).astype(rr.dtype)
+            return solve(np.asarray(rr)).astype(rr.dtype)
 
         return jax.pure_callback(
             cb, jax.ShapeDtypeStruct(r.shape, r.dtype), r

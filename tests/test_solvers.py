@@ -166,3 +166,37 @@ def test_gmres_under_jit(stokes_system):
     x_ref = np.linalg.solve(dense, np.asarray(rhs))
     err = np.linalg.norm(np.asarray(x) - x_ref) / np.linalg.norm(x_ref)
     assert err < 1e-7
+
+
+def test_ilu_transpose_solve(stokes_system):
+    """(LU)^{-T} r: the transposed block triangular solves.
+
+    Parity target: the reference's MatSolveTranspose kernel
+    (`src/kernels/baij4_factor_avx2.c:399-498`).  Validated by densifying the
+    stored L/U factors and solving the transposed system directly."""
+    _, op, _ = stokes_system
+    ilu = ILU0Preconditioner(op)
+    nb = ilu.nb
+    n = 4 * nb
+    L = np.eye(n)
+    U = np.zeros((n, n))
+    for i in range(nb):
+        for s in range(ilu.indptr[i], ilu.indptr[i + 1]):
+            j = int(ilu.indices[s])
+            blk = ilu.vals[s]
+            if j < i:
+                L[4 * i:4 * i + 4, 4 * j:4 * j + 4] = blk
+            elif j == i:
+                # diagonal stored inverted
+                U[4 * i:4 * i + 4, 4 * j:4 * j + 4] = np.linalg.inv(blk)
+            else:
+                U[4 * i:4 * i + 4, 4 * j:4 * j + 4] = blk
+    rng = np.random.default_rng(3)
+    r = rng.standard_normal(n)
+    x = ilu.solve_host_transpose(r)
+    x_ref = np.linalg.solve((L @ U).T, r)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-10, atol=1e-10)
+    # and the forward solve against the same densified factors
+    np.testing.assert_allclose(
+        ilu.solve_host(r), np.linalg.solve(L @ U, r), rtol=1e-10, atol=1e-10
+    )
