@@ -150,21 +150,31 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str):
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal(disc.ndof), dtype=dtype
     )
+    # Per-variant operator footprint next to each timing — the
+    # `src/benchmark_spmv.c:167-207` memory-estimate analog; on TPU the
+    # bytes a layout streams per SpMV are the roofline.
+    raw = nnz * jnp.dtype(dtype).itemsize
     y_ref = None
     t_ref = None
     for name, fn, operands in variants:
+        mb = sum(o.nbytes for o in operands) / 1e6
+        infl = sum(o.nbytes for o in operands) / raw
         y = np.asarray(fn(x, *operands))
         t = chained_op_time(fn, x, operands=operands)
         us = t * 1e6
         if y_ref is None:
             y_ref = y
             t_ref = t
-            print(f"{label} {name} : {us:8.1f} us | ref | ref", flush=True)
+            print(
+                f"{label} {name} : {us:8.1f} us | ref | ref | "
+                f"{mb:8.1f} MB ({infl:.2f}x nnz)",
+                flush=True,
+            )
         else:
             err = rel_error(y, y_ref)
             print(
                 f"{label} {name} : {us:8.1f} us | {t_ref / t:.2f}x | "
-                f"rel err = {err:.3e}",
+                f"rel err = {err:.3e} | {mb:8.1f} MB ({infl:.2f}x nnz)",
                 flush=True,
             )
 
