@@ -38,24 +38,27 @@ class Discretization:
     """Static + device data for one mesh (the problem's 'graph')."""
 
     mesh: Mesh
-    # Device arrays
+    # Device arrays (the hot assembly path)
     tets: jnp.ndarray            # (ne, 4) int32
     vol: jnp.ndarray             # (ne,)
     grad: jnp.ndarray            # (ne, 4, 3)
     h: jnp.ndarray               # (ne,)
-    # BCSR pattern (host) + scatter maps (device)
+    # BCSR pattern + scatter maps — HOST numpy: the BCSR/ELL routes are
+    # cold paths (tests, benches); keeping these on device cost ~2 GB of
+    # standing HBM at the 2.35M-row scale for arrays the transient solver
+    # never touches.  Every use site is jnp-compatible (numpy indices).
     indptr: np.ndarray           # (nb + 1,)
     indices: np.ndarray          # (nnzb,)
-    row_ids: jnp.ndarray         # (nnzb,) device
-    diag_slots: jnp.ndarray      # (nb,) device
-    slot_of_pair: jnp.ndarray    # (ne * 16,) device: element (i, j) -> slot
+    row_ids: np.ndarray          # (nnzb,)
+    diag_slots: np.ndarray       # (nb,)
+    slot_of_pair: np.ndarray     # (ne * 16,): element (i, j) -> slot
     # block-ELL pattern
     ell_indices: np.ndarray      # (nb, S) host
-    ell_indices_dev: jnp.ndarray
-    slot_of_bcsr: jnp.ndarray    # (nnzb,) device: bcsr slot -> ell flat slot
+    ell_indices_dev: np.ndarray  # historical name; host numpy now
+    slot_of_bcsr: np.ndarray     # (nnzb,): bcsr slot -> ell flat slot
     # scalar-DIA pattern (the fast TPU layout — see sparse/dia.py)
     dia_pattern: "DIAPattern"
-    dia_flat_map: jnp.ndarray    # (nnzb*16,) device
+    dia_flat_map: np.ndarray     # (nnzb*16,) host
     dia_elem_map: jnp.ndarray    # (ne*256,) device: element scalar entry ->
                                  # flat DIA position (direct assembly path)
     bc: DirichletBC
@@ -129,14 +132,14 @@ def build_discretization(
         h=h,
         indptr=indptr,
         indices=indices,
-        row_ids=jnp.asarray(row_ids),
-        diag_slots=jnp.asarray(diag),
-        slot_of_pair=jnp.asarray(slot_of_pair),
+        row_ids=row_ids,
+        diag_slots=diag,
+        slot_of_pair=slot_of_pair,
         ell_indices=ell_indices,
-        ell_indices_dev=jnp.asarray(ell_indices),
-        slot_of_bcsr=jnp.asarray(slot_of_bcsr),
+        ell_indices_dev=ell_indices,
+        slot_of_bcsr=slot_of_bcsr,
         dia_pattern=dia_pattern,
-        dia_flat_map=jnp.asarray(dia_pattern.flat_map),
+        dia_flat_map=dia_pattern.flat_map,
         dia_elem_map=jnp.asarray(dia_elem_map.astype(elem_map_dtype)),
         bc=build_dirichlet(mesh, dtype=dtype),
     )

@@ -138,6 +138,46 @@ class NavierStokesSolver:
         self._stokes_jit = jax.jit(self._stokes_solve)
         self._step_jit = jax.jit(self._newton_step)
 
+    @property
+    def _step_consts(self):
+        """Consts subset the Newton step actually traces.
+
+        In exact-Jacobian + operator-residual mode (the defaults) the step
+        needs no assembly arrays at all — dropping them from the jit
+        argument pytree keeps multi-GB scatter maps out of the step's
+        executable signature at the 2.35M-row scale."""
+        if self.cfg.jacobian == "exact" and self.cfg.residual == "operator":
+            drop = {"tets", "vol", "grad", "h", "elem_map",
+                    "ep_grad", "ep_vol", "ep_h", "ep_map", "ep_perm"}
+            return {k: v for k, v in self._consts.items() if k not in drop}
+        return self._consts
+
+    def release_assembly_buffers(self):
+        """Free assembly-time device arrays (geometry + element scatter map).
+
+        At matrix-10 scale (2.35M rows) these hold ~3.7 GB of HBM the
+        transient loop never reads: in exact-Jacobian + operator-residual
+        mode every step works off the prepared operators alone.  Call AFTER
+        `stokes_init` (the Stokes assembly needs them); `stokes_init`/
+        reference-mode stepping afterwards would have to rebuild.
+        """
+        if not (self.cfg.jacobian == "exact"
+                and self.cfg.residual == "operator"):
+            raise RuntimeError(
+                "release_assembly_buffers requires jacobian='exact' and "
+                "residual='operator' (other modes assemble per step)"
+            )
+        d = self.disc
+        d.tets = d.vol = d.grad = d.h = d.dia_elem_map = None
+        self._jlin_dia = None
+        self._jlin_bc_dia = None
+        for k in ("tets", "vol", "grad", "h", "elem_map"):
+            self._consts.pop(k, None)
+        if hasattr(self, "_ep_arrays"):
+            for k in list(self._ep_arrays):
+                self._consts.pop(k, None)
+            self._ep_arrays = {}
+
     def _assemble_dia(self, UL, terms):
         d = self.disc
         return assemble_dia_values(
@@ -524,7 +564,7 @@ class NavierStokesSolver:
 
     def step(self, u, u_old, delta_u):
         """One backward-Euler step. Returns (u_new, delta_u, stats)."""
-        return self._step_jit(u, u_old, delta_u, self._consts)
+        return self._step_jit(u, u_old, delta_u, self._step_consts)
 
     # -- Driver -------------------------------------------------------------
 
@@ -549,6 +589,13 @@ class NavierStokesSolver:
 
         if u0 is None:
             u0 = self.stokes_init()
+        if (cfg.jacobian == "exact" and cfg.residual == "operator"
+                and self.disc.ndof >= 1_000_000
+                and self.disc.dia_elem_map is not None):
+            # Above ~1M rows the assembly arrays (elem scatter map alone is
+            # ~3.5 GB at 2.35M rows) crowd out the step's working set on a
+            # 16 GB chip; the exact/operator step never reads them.
+            self.release_assembly_buffers()
         u = jnp.asarray(u0, dtype=self.dtype)
         u_old = u
         delta_u = jnp.zeros_like(u)

@@ -343,3 +343,35 @@ def test_save_outputs(problem, tmp_path):
     np.testing.assert_allclose(back, np.asarray(u), rtol=1e-4, atol=1e-6)
     assert (tmp_path / "time_series.pvd").exists()
     assert (tmp_path / "solution_0001.vtu").exists()
+
+
+def test_release_assembly_buffers_preserves_stepping():
+    """After `release_assembly_buffers` (the huge-mesh memory lever) the
+    exact/operator transient continues bit-identically: the step traces only
+    the prepared operators, never the assembly arrays."""
+    import jax.numpy as jnp
+
+    from navierstokes_tpu.config import NSConfig, SolverConfig
+    from navierstokes_tpu.mesh import channel_mesh
+    from navierstokes_tpu.model import NavierStokesSolver
+
+    cfg = NSConfig(
+        dt=0.01, reynolds=100.0, delta=0.1, dtype="float64",
+        krylov=SolverConfig(rtol=1e-12, atol=1e-13, maxiter=2000),
+        stokes_krylov=SolverConfig(rtol=1e-12, atol=1e-13, maxiter=2000),
+    )
+    mesh = channel_mesh(6, 3, 3, length=3.0)
+
+    ref = NavierStokesSolver(mesh, cfg)
+    u0 = ref.stokes_init()
+    z = jnp.zeros_like(u0)
+    u_ref, _, _ = ref.step(u0, u0, z)
+
+    rel = NavierStokesSolver(mesh, cfg)
+    u0b = rel.stokes_init()
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u0b))
+    rel.release_assembly_buffers()
+    assert rel.disc.dia_elem_map is None and "elem_map" not in rel._consts
+    u_rel, _, stats = rel.step(u0b, u0b, z)
+    assert bool(stats.converged)
+    np.testing.assert_array_equal(np.asarray(u_ref), np.asarray(u_rel))
