@@ -495,70 +495,81 @@ class NavierStokesSolver:
                 u, u_old, cfg.dt, cfg.reynolds, cfg.delta, ndof=d.ndof,
             )
 
-        def body(carry):
-            (u, delta_u, it, res0, res_h, du_h, lin_total, _, _) = carry
+        du_tol = nw.atol if nw.du_tol is None else nw.du_tol
 
+        def check(u, delta_u):
+            """BC-insert + residual + convergence flags (one Newton 'check').
+
+            Returns the post-insert state so the loop carry always holds
+            BC-consistent iterates."""
             u = jnp.where(is_bc, bc_value.astype(dtype), u)
             F = jnp.where(is_bc, jnp.zeros((), dtype), residual(u))
             res_norm = jnp.linalg.norm(F)
-            res0 = jnp.where(it == 0, res_norm, res0)
             du_norm = jnp.linalg.norm(delta_u)
-            res_h = res_h.at[it].set(res_norm)
-            du_h = du_h.at[it].set(du_norm)
+            return u, F, res_norm, du_norm
 
-            du_tol = nw.atol if nw.du_tol is None else nw.du_tol
+        # The solve is UNCONDITIONAL inside the body and convergence gates
+        # loop ENTRY (a do-while): Mosaic kernels nested in `lax.cond`
+        # inside `lax.while_loop` fault on-device at the 2.35M-row scale
+        # (same graph runs fine without the cond; isolated by bisection —
+        # see benchlogs/transient_scaling.txt), and the branch bought
+        # nothing: the old skip-arm only fired on the exit iteration.
+        def body(carry):
+            (u, F, delta_u, it, res0, res_h, du_h, lin_total, _, _) = carry
+
+            if cfg.jacobian == "exact":
+                prep = _merge_prep(self._prep_static, consts["prep"])
+                sol = self._solve_prepared(prep, -F, kv)
+            else:
+                from navierstokes_tpu.sparse.dia import zero_rows_dia
+
+                UL, _ = local_fields(consts["tets"], u)
+                jnl = self._assemble_dia_c(
+                    consts, UL, NONLINEAR_TERMS, cfg.reynolds
+                )
+                values = zero_rows_dia(
+                    offsets, consts["jlin_dia"] + jnl, is_bc
+                )
+                sol = self._solve_prepared(
+                    self._prepare_operator_dia(values), -F, kv
+                )
+            u, delta_u, lin_total = u + sol.x, sol.x, lin_total + sol.iters
+
+            u, F, res_norm, du_norm = check(u, delta_u)
+            it = it + 1
+            res_h = res_h.at[it].set(res_norm)       # index==max drops (OOB)
+            du_h = du_h.at[it].set(du_norm)
             converged = (
                 (res_norm < nw.rtol * res0) | (res_norm < nw.atol)
             ) & (du_norm < du_tol)
             stagnated = (it > 5) & (du_norm < nw.stol)
-
-            def do_solve(operands):
-                u, delta_u, lin_total = operands
-                if cfg.jacobian == "exact":
-                    prep = _merge_prep(self._prep_static, consts["prep"])
-                    sol = self._solve_prepared(prep, -F, kv)
-                else:
-                    from navierstokes_tpu.sparse.dia import zero_rows_dia
-
-                    UL, _ = local_fields(consts["tets"], u)
-                    jnl = self._assemble_dia_c(
-                        consts, UL, NONLINEAR_TERMS, cfg.reynolds
-                    )
-                    values = zero_rows_dia(
-                        offsets, consts["jlin_dia"] + jnl, is_bc
-                    )
-                    sol = self._solve_prepared(
-                        self._prepare_operator_dia(values), -F, kv
-                    )
-                return u + sol.x, sol.x, lin_total + sol.iters
-
-            def skip(operands):
-                return operands
-
-            u, delta_u, lin_total = jax.lax.cond(
-                converged | stagnated, skip, do_solve, (u, delta_u, lin_total)
-            )
             return (
-                u, delta_u, it + 1, res0, res_h, du_h, lin_total,
+                u, F, delta_u, it, res0, res_h, du_h, lin_total,
                 converged, stagnated,
             )
 
         def cond(carry):
-            (_, _, it, _, _, _, _, converged, stagnated) = carry
+            (_, _, _, it, _, _, _, _, converged, stagnated) = carry
             return (it < max_newton) & (~converged) & (~stagnated)
 
+        u0, F0, rn0, dun0 = check(
+            u_init.astype(dtype), delta_u_init.astype(dtype)
+        )
+        converged0 = ((rn0 < nw.rtol * rn0) | (rn0 < nw.atol)) & (
+            dun0 < du_tol
+        )
         nanarr = jnp.full(max_newton, jnp.nan, dtype=dtype)
         init = (
-            u_init.astype(dtype), delta_u_init.astype(dtype), jnp.int32(0),
-            jnp.zeros((), dtype), nanarr, nanarr, jnp.int32(0),
-            jnp.asarray(False), jnp.asarray(False),
+            u0, F0, delta_u_init.astype(dtype), jnp.int32(0), rn0,
+            nanarr.at[0].set(rn0), nanarr.at[0].set(dun0), jnp.int32(0),
+            converged0, jnp.asarray(False),
         )
-        (u, delta_u, it, _, res_h, du_h, lin_total, converged, _) = (
+        (u, _, delta_u, it, _, res_h, du_h, lin_total, converged, _) = (
             jax.lax.while_loop(cond, body, init)
         )
         stats = NewtonStats(
-            iters=it, converged=converged, res_hist=res_h, du_hist=du_h,
-            lin_iters=lin_total,
+            iters=jnp.minimum(it + 1, max_newton), converged=converged,
+            res_hist=res_h, du_hist=du_h, lin_iters=lin_total,
         )
         return u, delta_u, stats
 
