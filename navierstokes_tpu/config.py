@@ -41,6 +41,13 @@ class SolverConfig:
                                 # can diverge); prefer "two_level" for strength
     coarse_agg: int = 64        # nodes per aggregate (two_level)
     coarse_shift: float = 1e-6  # diagonal shift on the coarse operator
+    coarse_ml_smooth: int = 1   # multilevel coarse: level-1 block-Jacobi
+                                # smoothing sweeps per two-grid cycle
+    coarse_ml_cycles: int = 1   # multilevel coarse: two-grid cycles per
+                                # apply (each = level-2 dense correction +
+                                # coarse_ml_smooth Jacobi sweeps); cheap at
+                                # coarse size, directly buys outer Krylov
+                                # iterations at 511k+ rows
     coarse_dense_max: int = 4096  # max coarse DoF for the dense inverse;
                                 # beyond it the coarse level is kept sparse
                                 # (DIA) and corrected by a SECOND, smaller

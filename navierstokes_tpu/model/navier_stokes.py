@@ -383,13 +383,20 @@ class NavierStokesSolver:
                 _, _, c_off, cs2 = c_static
                 ac1, invd1_data, ac2_inv = c_arrays
                 invd1_off = tuple(range(-3, 4))
+                n_smooth = self.cfg.krylov.coarse_ml_smooth
+                n_cycles = self.cfg.krylov.coarse_ml_cycles
 
                 def coarse_solve(rc):
-                    zc = prolong(cs2, ac2_inv @ restrict(cs2, rc))
-                    return zc + self._spmv_small(
-                        invd1_off, invd1_data,
-                        rc - self._spmv_small(c_off, ac1, zc),
-                    )
+                    zc = jnp.zeros_like(rc)
+                    for _ in range(n_cycles):
+                        r1 = rc - self._spmv_small(c_off, ac1, zc)
+                        zc = zc + prolong(cs2, ac2_inv @ restrict(cs2, r1))
+                        for _ in range(n_smooth):
+                            zc = zc + self._spmv_small(
+                                invd1_off, invd1_data,
+                                rc - self._spmv_small(c_off, ac1, zc),
+                            )
+                    return zc
 
             def minv(r):
                 # multiplicative two-grid: coarse correction + Jacobi smooth

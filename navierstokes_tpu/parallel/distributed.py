@@ -284,13 +284,21 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
             ac1, invd1_data, ac2_inv = c_arrays
             invd1_off = tuple(range(-3, 4))
             chunk = nc_pad // ndev
+            n_smooth = self.cfg.krylov.coarse_ml_smooth
+            n_cycles = self.cfg.krylov.coarse_ml_cycles
 
             def _coarse_body_ml(r_loc, ac1_r, invd1_r, ac2_r, mask_loc):
                 rc_loc = r_loc.reshape(-1, agg, 4).sum(axis=1).reshape(-1)
                 rc = jax.lax.all_gather(rc_loc, ax, tiled=True)[:nc]
-                zc = prolong(cs2, ac2_r @ restrict(cs2, rc))
-                zc = zc + spmv_dia(invd1_off, invd1_r,
-                                   rc - spmv_dia(c_off, ac1_r, zc))
+                zc = jnp.zeros_like(rc)
+                for _ in range(n_cycles):
+                    r1 = rc - spmv_dia(c_off, ac1_r, zc)
+                    zc = zc + prolong(cs2, ac2_r @ restrict(cs2, r1))
+                    for _ in range(n_smooth):
+                        zc = zc + spmv_dia(
+                            invd1_off, invd1_r,
+                            rc - spmv_dia(c_off, ac1_r, zc),
+                        )
                 zc = jnp.pad(zc, (0, nc_pad - nc))
                 zc_loc = jax.lax.dynamic_slice(
                     zc, (jax.lax.axis_index(ax) * chunk,), (chunk,)

@@ -355,3 +355,45 @@ def test_partitioned_assembly_matches_global():
         got = np.asarray(dist._assemble_dia(UL, terms))
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_multilevel_coarse_smooth_cycles():
+    """Stronger multilevel coarse cycles (extra smoothing sweeps / cycles)
+    converge to the same solution with no more outer iterations, on one
+    chip and distributed."""
+    import dataclasses
+
+    kr = SolverConfig(rtol=1e-12, atol=1e-13, maxiter=4000,
+                      preconditioner="two_level", coarse_agg=4,
+                      coarse_dense_max=32,
+                      coarse_ml_smooth=2, coarse_ml_cycles=2)
+    cfg = NSConfig(
+        dt=0.01, t_final=0.02, reynolds=100.0, delta=0.1, dtype="float64",
+        krylov=kr,
+        stokes_krylov=dataclasses.replace(kr, rtol=1e-13),
+    )
+    mesh = channel_mesh(12, 2, 2, length=6.0)
+
+    single = NavierStokesSolver(mesh, cfg)
+    assert single._exact_prep[6][0] == "ml"
+    u_single = single.run(2, monitor=False)
+
+    base_cfg = dataclasses.replace(
+        cfg,
+        krylov=dataclasses.replace(kr, coarse_ml_smooth=1,
+                                   coarse_ml_cycles=1),
+    )
+    u_base = NavierStokesSolver(mesh, base_cfg).run(2, monitor=False)
+    err0 = np.linalg.norm(np.asarray(u_single) - np.asarray(u_base)) / (
+        np.linalg.norm(np.asarray(u_base))
+    )
+    assert err0 < 1e-8, f"strong vs default ml coarse solution drift {err0}"
+
+    dist, _ = DistributedNavierStokesSolver.from_mesh(
+        mesh, cfg, devices=jax.devices()[:N_DEV]
+    )
+    u_dist = dist.run(2, monitor=False)
+    err = np.linalg.norm(np.asarray(u_dist) - np.asarray(u_single)) / (
+        np.linalg.norm(np.asarray(u_single))
+    )
+    assert err < 1e-8, f"multilevel multi-chip vs single-chip error {err}"
