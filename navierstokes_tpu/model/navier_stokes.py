@@ -89,31 +89,6 @@ class NavierStokesSolver:
         )
         self.dtype = dtype
 
-        from navierstokes_tpu.sparse.dia import zero_rows_dia
-
-        # J_linear precomputed once (`preassemble_linear_jacobian`,
-        # `src/solve_newton.c:1116-1146`), assembled DIRECTLY into the flat
-        # scalar-DIA layout (the scalable path — see assemble_dia_values).
-        dummy_UL = jnp.zeros((self.disc.ne, 3, 4), dtype=dtype)
-        self._jlin_dia = self._assemble_dia(dummy_UL, LINEAR_TERMS)
-        self._jlin_bc_dia = zero_rows_dia(
-            self.disc.dia_pattern.offsets, self._jlin_dia, self.disc.bc.is_bc
-        )
-        if self.cfg.jacobian == "exact":
-            # The residual's true Jacobian is constant: pre-scale it once.
-            self._exact_prep = self._prepare_operator_dia(self._jlin_bc_dia)
-
-        if self.cfg.residual == "operator":
-            # Operator-form residual: F = A_lin u - (M/dt) u_old, both as
-            # constant DIA operators (no per-iteration element scatter).
-            # Pretiled on TPU: the row-major XLA DIA SpMV is bimodal and was
-            # measured in its ~450 us mode inside the step graph.
-            offs = self.disc.dia_pattern.offsets
-            self._res_A = self._maybe_pretile(offs, self._jlin_dia)
-            self._res_M = self._maybe_pretile(offs, self._assemble_dia(
-                dummy_UL, frozenset({"mass_dt_bare"})
-            ))
-
         # All large device arrays flow into the jitted step/stokes functions
         # as ARGUMENTS (this pytree), never as closure captures: closure
         # arrays are embedded as literal constants in the compile payload,
@@ -125,18 +100,61 @@ class NavierStokesSolver:
             "elem_map": d.dia_elem_map,
             "bc_is_bc": d.bc.is_bc, "bc_value": d.bc.value,
         }
+        # Operator preparation (J_linear, exact prep, residual operators) is
+        # LAZY — built on the first step()/prep access, not at construction.
+        # Stokes init never reads them, and at 2.35M rows building them
+        # first pushes the Stokes solve's peak HBM (~4 GB of prepared
+        # operators + ~3.7 GB assembly arrays + the solve's own temps) over
+        # the 16 GB chip.  Ordering stokes -> prepare -> (release) -> step
+        # keeps every phase's peak bounded.
+        self._prepared = False
+
+        self._stokes_jit = jax.jit(self._stokes_solve)
+        self._step_jit = jax.jit(self._newton_step)
+
+    def _ensure_prepared(self):
+        """Build J_linear / exact prep / residual operators once, on demand."""
+        if self._prepared:
+            return
+        from navierstokes_tpu.sparse.dia import zero_rows_dia
+
+        dtype = self.dtype
+        # J_linear precomputed once (`preassemble_linear_jacobian`,
+        # `src/solve_newton.c:1116-1146`), assembled DIRECTLY into the flat
+        # scalar-DIA layout (the scalable path — see assemble_dia_values).
+        dummy_UL = jnp.zeros((self.disc.ne, 3, 4), dtype=dtype)
+        self._jlin_dia = self._assemble_dia(dummy_UL, LINEAR_TERMS)
+        self._jlin_bc_dia = zero_rows_dia(
+            self.disc.dia_pattern.offsets, self._jlin_dia, self.disc.bc.is_bc
+        )
         if self.cfg.jacobian == "exact":
-            static, arrays = _split_prep(self._exact_prep)
+            # The residual's true Jacobian is constant: pre-scale it once.
+            self._exact_prep_val = self._prepare_operator_dia(
+                self._jlin_bc_dia
+            )
+            static, arrays = _split_prep(self._exact_prep_val)
             self._prep_static = static
             self._consts["prep"] = arrays
         else:
             self._consts["jlin_dia"] = self._jlin_dia
         if self.cfg.residual == "operator":
+            # Operator-form residual: F = A_lin u - (M/dt) u_old, both as
+            # constant DIA operators (no per-iteration element scatter).
+            # Pretiled on TPU: the row-major XLA DIA SpMV is bimodal and was
+            # measured in its ~450 us mode inside the step graph.
+            offs = self.disc.dia_pattern.offsets
+            self._res_A = self._maybe_pretile(offs, self._jlin_dia)
+            self._res_M = self._maybe_pretile(offs, self._assemble_dia(
+                dummy_UL, frozenset({"mass_dt_bare"})
+            ))
             self._consts["res_A"] = self._res_A
             self._consts["res_M"] = self._res_M
+        self._prepared = True
 
-        self._stokes_jit = jax.jit(self._stokes_solve)
-        self._step_jit = jax.jit(self._newton_step)
+    @property
+    def _exact_prep(self):
+        self._ensure_prepared()
+        return self._exact_prep_val
 
     @property
     def _step_consts(self):
@@ -167,6 +185,7 @@ class NavierStokesSolver:
                 "release_assembly_buffers requires jacobian='exact' and "
                 "residual='operator' (other modes assemble per step)"
             )
+        self._ensure_prepared()      # prep needs the assembly arrays
         d = self.disc
         d.tets = d.vol = d.grad = d.h = d.dia_elem_map = None
         self._jlin_dia = None
@@ -348,10 +367,11 @@ class NavierStokesSolver:
         composed into the full preconditioned-matvec graph on TPU (measured
         41 us standalone but ~800 us effective inside the two-level matvec —
         a buffer-placement failure, see benchlogs/gmres_decomposition.txt);
-        the Pallas kernel is stable and 3x faster standalone (12 us)."""
-        if jax.default_backend() == "tpu" and data.dtype in (
-            jnp.float32, jnp.bfloat16
-        ):
+        the Pallas kernel is stable and 3x faster standalone (12 us).
+        An explicit SolverConfig.spmv="xla" opts out (kernel-free graphs
+        for debugging / fallback)."""
+        if self.cfg.krylov.spmv != "xla" and jax.default_backend() == "tpu" \
+                and data.dtype in (jnp.float32, jnp.bfloat16):
             from navierstokes_tpu.ops.pallas_dia import spmv_dia_pallas
 
             return spmv_dia_pallas(offsets, data, x)
@@ -582,6 +602,7 @@ class NavierStokesSolver:
 
     def step(self, u, u_old, delta_u):
         """One backward-Euler step. Returns (u_new, delta_u, stats)."""
+        self._ensure_prepared()
         return self._step_jit(u, u_old, delta_u, self._step_consts)
 
     # -- Driver -------------------------------------------------------------

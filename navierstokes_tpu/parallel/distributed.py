@@ -47,6 +47,7 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
         super().__init__(mesh, cfg)
         # Sharded-setup element arrays ride the consts pytree into the
         # jitted step/stokes functions (never closure captures).
+        self._ensure_epart()
         self._consts.update(self._ep_arrays)
 
         # Validate the band fits: scalar halo <= rows per device.
@@ -249,15 +250,17 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
                 c_arrays[0], ((0, nc_pad - nc), (0, nc_pad - nc))
             )
 
+            from navierstokes_tpu.solvers.coarse import _mix_matrix
+
             def _coarse_body(r_loc, acinv_loc, mask_loc):
-                # local restriction: sum each aggregate, per component
-                rc_loc = r_loc.reshape(-1, agg, 4).sum(axis=1).reshape(-1)
+                # local restriction: sum each aggregate, per component —
+                # flat-matmul form (no (..., 4)-minor temps: XLA tile-pads
+                # those 32x, see solvers/coarse._mix_matrix)
+                mix = _mix_matrix(agg, r_loc.dtype)
+                rc_loc = (r_loc.reshape(-1, 4 * agg) @ mix).reshape(-1)
                 rc = jax.lax.all_gather(rc_loc, ax, tiled=True)  # (nc_pad,)
                 zc_loc = acinv_loc @ rc                      # own coarse rows
-                z_loc = jnp.broadcast_to(
-                    zc_loc.reshape(-1, 1, 4),
-                    (zc_loc.shape[0] // 4, agg, 4),
-                ).reshape(-1)
+                z_loc = (zc_loc.reshape(-1, 4) @ mix.T).reshape(-1)
                 return z_loc * mask_loc
 
             coarse_correct = jax.shard_map(
@@ -287,8 +290,11 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
             n_smooth = self.cfg.krylov.coarse_ml_smooth
             n_cycles = self.cfg.krylov.coarse_ml_cycles
 
+            from navierstokes_tpu.solvers.coarse import _mix_matrix
+
             def _coarse_body_ml(r_loc, ac1_r, invd1_r, ac2_r, mask_loc):
-                rc_loc = r_loc.reshape(-1, agg, 4).sum(axis=1).reshape(-1)
+                mix = _mix_matrix(agg, r_loc.dtype)
+                rc_loc = (r_loc.reshape(-1, 4 * agg) @ mix).reshape(-1)
                 rc = jax.lax.all_gather(rc_loc, ax, tiled=True)[:nc]
                 zc = jnp.zeros_like(rc)
                 for _ in range(n_cycles):
@@ -303,10 +309,7 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
                 zc_loc = jax.lax.dynamic_slice(
                     zc, (jax.lax.axis_index(ax) * chunk,), (chunk,)
                 )
-                z_loc = jnp.broadcast_to(
-                    zc_loc.reshape(-1, 1, 4),
-                    (zc_loc.shape[0] // 4, agg, 4),
-                ).reshape(-1)
+                z_loc = (zc_loc.reshape(-1, 4) @ mix.T).reshape(-1)
                 return z_loc * mask_loc
 
             coarse_correct = jax.shard_map(

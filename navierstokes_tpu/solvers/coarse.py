@@ -60,18 +60,33 @@ def build_aggregates(nb: int, agg_size: int = 64) -> CoarseSpace:
     )
 
 
+def _mix_matrix(agg: int, dtype):
+    """(4*agg, 4) 0/1 matrix: column c picks the stride-4 residue c.
+
+    Lets restrict/prolong run as (n_agg, 4*agg) matmuls on FLAT lane-major
+    data.  The naive reshape formulation creates (nb, 4)/(n_agg, agg, 4)
+    intermediates whose minor dim XLA tile-pads (8, 128) -> 32x HBM
+    inflation; inside the triple-nested solver loops that inflation
+    multiplied across ~130 live loop temps and hit 37 GB of HLO temp at
+    2.35M rows (compile-time OOM).  Here the only 4-minor array is the
+    (n_agg, 4) coarse product — coarse-sized, negligible."""
+    m = np.zeros((4 * agg, 4), dtype)
+    m[np.arange(4 * agg), np.arange(4 * agg) % 4] = 1.0
+    return jnp.asarray(m)
+
+
 def restrict(cs: CoarseSpace, r):
     """R r: per-component sum over each aggregate. (4*nb,) -> (nc,)."""
-    r4 = jnp.pad(r.reshape(-1, 4), ((0, cs.nb_pad - cs.nb), (0, 0)))
-    return r4.reshape(cs.n_agg, cs.agg_size, 4).sum(axis=1).reshape(-1)
+    r2 = jnp.pad(r, (0, 4 * (cs.nb_pad - cs.nb))).reshape(
+        cs.n_agg, 4 * cs.agg_size
+    )
+    return (r2 @ _mix_matrix(cs.agg_size, r.dtype)).reshape(-1)
 
 
 def prolong(cs: CoarseSpace, rc):
     """P rc = R^T rc: inject aggregate values back. (nc,) -> (4*nb,)."""
-    out = jnp.broadcast_to(
-        rc.reshape(cs.n_agg, 1, 4), (cs.n_agg, cs.agg_size, 4)
-    ).reshape(cs.nb_pad, 4)
-    return out[: cs.nb].reshape(-1)
+    out = rc.reshape(cs.n_agg, 4) @ _mix_matrix(cs.agg_size, rc.dtype).T
+    return out.reshape(-1)[: 4 * cs.nb]
 
 
 def coarse_dia_offsets(offsets: tuple, agg: int) -> tuple:
