@@ -78,7 +78,7 @@ def main():
     # Memory footprint per variant (the `src/benchmark_spmv.c:167-207`
     # analog) — on TPU the design argument is HBM-traffic-shaped, so the
     # bytes each layout streams per SpMV matter as much as the time.
-    raw = nnz * dtype.itemsize
+    raw = nnz * jnp.dtype(dtype).itemsize
     log(f"operator footprint: raw nnz       {raw / 1e6:8.1f} MB")
     log(f"operator footprint: DIA (K={pat.K:3d})  "
         f"{dia_data.nbytes / 1e6:8.1f} MB ({dia_data.nbytes / raw:.2f}x "

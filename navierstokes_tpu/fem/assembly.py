@@ -54,7 +54,6 @@ class Discretization:
     slot_of_pair: np.ndarray     # (ne * 16,): element (i, j) -> slot
     # block-ELL pattern
     ell_indices: np.ndarray      # (nb, S) host
-    ell_indices_dev: np.ndarray  # historical name; host numpy now
     slot_of_bcsr: np.ndarray     # (nnzb,): bcsr slot -> ell flat slot
     # scalar-DIA pattern (the fast TPU layout — see sparse/dia.py)
     dia_pattern: "DIAPattern"
@@ -136,7 +135,6 @@ def build_discretization(
         diag_slots=diag,
         slot_of_pair=slot_of_pair,
         ell_indices=ell_indices,
-        ell_indices_dev=ell_indices,
         slot_of_bcsr=slot_of_bcsr,
         dia_pattern=dia_pattern,
         dia_flat_map=dia_pattern.flat_map,

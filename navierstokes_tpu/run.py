@@ -50,6 +50,24 @@ def main(argv=None):
                    help=">1: distributed solver over this many devices")
     p.add_argument("--profile", action="store_true",
                    help="print an event-log report at the end")
+    # Perf knobs (the `-matmult_variant`/`-avx2` analog,
+    # `src/kernels/variant_selector.c:3-15`): sweepable without code edits.
+    p.add_argument("--spmv", choices=["auto", "xla", "pallas"], default=None,
+                   help="SpMV kernel routing (default: auto)")
+    p.add_argument("--preconditioner", default=None,
+                   choices=["block_jacobi", "two_level", "ilu0", "none"])
+    p.add_argument("--coarse-agg", type=int, default=None,
+                   help="two_level: nodes per aggregate")
+    p.add_argument("--coarse-ml-smooth", type=int, default=None,
+                   help="multilevel coarse: smoothing sweeps per cycle")
+    p.add_argument("--coarse-ml-cycles", type=int, default=None,
+                   help="multilevel coarse: two-grid cycles per apply")
+    p.add_argument("--neumann-order", type=int, default=None,
+                   help="Neumann-series boost of block-Jacobi")
+    p.add_argument("--ca-gmres", action="store_true",
+                   help="use the s-step (communication-avoiding) GMRES")
+    p.add_argument("--restart", type=int, default=None,
+                   help="GMRES restart length")
     args = p.parse_args(argv)
 
     import jax
@@ -102,6 +120,27 @@ def main(argv=None):
         newton = NewtonConfig()
         krylov = SolverConfig()
         stokes = SolverConfig(rtol=1e-12, atol=1e-12, maxiter=2000)
+
+    # Apply CLI perf-knob overrides to both Krylov configs.
+    import dataclasses as _dc
+
+    overrides = {}
+    for field, value in (
+        ("spmv", args.spmv),
+        ("preconditioner", args.preconditioner),
+        ("coarse_agg", args.coarse_agg),
+        ("coarse_ml_smooth", args.coarse_ml_smooth),
+        ("coarse_ml_cycles", args.coarse_ml_cycles),
+        ("neumann_order", args.neumann_order),
+        ("restart", args.restart),
+    ):
+        if value is not None:
+            overrides[field] = value
+    if args.ca_gmres:
+        overrides["method"] = "ca_gmres"
+    if overrides:
+        krylov = _dc.replace(krylov, **overrides)
+        stokes = _dc.replace(stokes, **overrides)
 
     cfg = NSConfig(
         dt=args.dt, t_final=args.t_final, reynolds=args.re, delta=args.delta,

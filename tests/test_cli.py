@@ -41,6 +41,21 @@ def test_run_cli_transient(tmp_path):
 
 
 @pytest.mark.slow
+def test_run_cli_perf_knobs(tmp_path):
+    """The `-matmult_variant`/`-avx2` analog: every perf knob is a flag."""
+    r = run_cli([
+        "navierstokes_tpu.run", "--nx", "3", "--ny", "2", "--nz", "2",
+        "--steps", "1", "--dt", "0.01", "--re", "50", "--cpu",
+        "--preconditioner", "two_level", "--coarse-agg", "4",
+        "--coarse-ml-smooth", "2", "--coarse-ml-cycles", "1",
+        "--spmv", "xla", "--neumann-order", "0", "--restart", "20",
+        "--ca-gmres",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Total time:" in r.stdout
+
+
+@pytest.mark.slow
 def test_create_mat_cli(tmp_path):
     out_dir = str(tmp_path / "mat")
     r = run_cli([
