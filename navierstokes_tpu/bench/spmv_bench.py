@@ -22,7 +22,7 @@ import sys
 import numpy as np
 
 
-def run_one(matrix_id: int, kernel: str, dtype_str: str):
+def run_one(matrix_id: int, kernel: str, dtype_str: str, disc=None):
     import jax
     import jax.numpy as jnp
 
@@ -39,8 +39,9 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str):
     from navierstokes_tpu.sparse.dia import dia_values_from_bcsr_values
 
     dtype = jnp.dtype(dtype_str)
-    mesh = scaling_series_mesh(matrix_id)
-    disc = build_discretization(mesh, dtype=dtype)
+    if disc is None:
+        mesh = scaling_series_mesh(matrix_id)
+        disc = build_discretization(mesh, dtype=dtype)
     pat = disc.dia_pattern
     nnz = pat.nnz
     print(f"Matrix loaded: {disc.ndof} rows, {nnz} nonzeros", flush=True)
@@ -184,11 +185,43 @@ def main(argv=None):
     p.add_argument("--matrices", default="1,2,3,4,5,6",
                    help="comma-separated matrix ids 1-10")
     p.add_argument("--kernel", default="spmv",
-                   choices=["spmv", "2spmv", "spm2v"])
+                   help="comma-separated subset of spmv,2spmv,spm2v; all "
+                        "kernels at one size share the discretization "
+                        "(host pattern build dominates setup at 500k+ rows)")
     p.add_argument("--dtype", default="float32")
+    p.add_argument("--disc-cache", default=None,
+                   help="directory holding per-matrix discretization caches "
+                        "(<dir>/m<id>/), created on first use")
     args = p.parse_args(argv)
+    kernels = args.kernel.split(",")
+    for kn in kernels:
+        if kn not in ("spmv", "2spmv", "spm2v"):
+            p.error(f"unknown kernel {kn}")
     for mid in (int(t) for t in args.matrices.split(",")):
-        run_one(mid, args.kernel, args.dtype)
+        disc = None
+        if args.disc_cache or len(kernels) > 1:
+            import jax.numpy as jnp
+
+            from navierstokes_tpu.fem.assembly import (
+                build_discretization,
+                load_discretization,
+                save_discretization,
+            )
+            from navierstokes_tpu.mesh.box import scaling_series_mesh
+
+            cache = f"{args.disc_cache}/m{mid}" if args.disc_cache else None
+            import os
+
+            if cache and os.path.exists(f"{cache}/mesh.pkl"):
+                disc = load_discretization(cache, dtype=jnp.dtype(args.dtype))
+            else:
+                disc = build_discretization(
+                    scaling_series_mesh(mid), dtype=jnp.dtype(args.dtype)
+                )
+                if cache:
+                    save_discretization(disc, cache)
+        for kn in kernels:
+            run_one(mid, kn, args.dtype, disc=disc)
 
 
 if __name__ == "__main__":

@@ -28,7 +28,19 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def run_one(matrix_id: int, steps: int, overrides: dict) -> dict:
+def _live_hbm_mb() -> float:
+    """Sum of live device-array bytes (standing HBM inventory)."""
+    import jax
+
+    try:
+        return sum(a.nbytes for a in jax.live_arrays()) / 1e6
+    except Exception:
+        return float("nan")
+
+
+def run_one(matrix_id: int, steps: int, overrides: dict,
+            mesh=None, disc=None, release: bool = False,
+            skip_stokes: bool = False) -> dict:
     import jax.numpy as jnp
 
     from navierstokes_tpu.config import NewtonConfig, NSConfig, SolverConfig
@@ -48,20 +60,32 @@ def run_one(matrix_id: int, steps: int, overrides: dict) -> dict:
         krylov=krylov, stokes_krylov=krylov,
     )
 
-    mesh = scaling_series_mesh(matrix_id)
+    if mesh is None:
+        mesh = scaling_series_mesh(matrix_id)
     t0 = time.perf_counter()
-    solver = NavierStokesSolver(mesh, cfg)
+    solver = NavierStokesSolver(mesh, cfg, disc=disc)
     solver._ensure_prepared()
     setup_s = time.perf_counter() - t0
     log(f"id={matrix_id} ndof={solver.disc.ndof} setup {setup_s:.1f} s")
 
     t0 = time.perf_counter()
-    u = solver.stokes_init()
-    u.block_until_ready()
-    stokes_s = time.perf_counter() - t0
-    log(f"stokes init {stokes_s:.1f} s (incl compile)")
+    if skip_stokes:
+        u = jnp.zeros(solver.disc.ndof, solver.dtype)
+        stokes_s = 0.0
+        log("stokes skipped (zero init)")
+    else:
+        u = solver.stokes_init()
+        u.block_until_ready()
+        stokes_s = time.perf_counter() - t0
+        log(f"stokes init {stokes_s:.1f} s (incl compile)")
+    if release:
+        # Free assembly-time buffers (geometry + multi-GB scatter map) —
+        # required headroom for the 2.35M-row step on one 16 GB chip.
+        solver.release_assembly_buffers()
+        log(f"assembly buffers released; live HBM {_live_hbm_mb():.0f} MB")
 
     u_old, du = u, jnp.zeros_like(u)
+    log(f"live HBM before step: {_live_hbm_mb():.0f} MB")
     t0 = time.perf_counter()
     u1, du1, stats = solver.step(u, u_old, du)
     u1.block_until_ready()
@@ -104,6 +128,23 @@ def main(argv=None):
     p.add_argument("--coarse-dense-max", type=int, default=None)
     p.add_argument("--restart", type=int, default=None)
     p.add_argument("--neumann-order", type=int, default=None)
+    p.add_argument("--method", default=None,
+                   choices=["gmres", "ca_gmres", "cg"])
+    p.add_argument("--release", action="store_true",
+                   help="free assembly buffers after stokes (matrix-10 "
+                        "memory diet; incompatible with --sweep, which "
+                        "reuses the discretization)")
+    p.add_argument("--skip-stokes", action="store_true",
+                   help="zero initial condition (probing large meshes)")
+    p.add_argument("--disc-cache", default=None,
+                   help="directory to save/load the pickled discretization "
+                        "(host pattern build takes ~10-20 min at 2.35M rows)")
+    p.add_argument("--sweep", default=None,
+                   help="semicolon-separated override sets, each "
+                        "'key=val,key=val' (keys as the flags, underscored); "
+                        "all runs share ONE discretization so host setup is "
+                        "paid once, e.g. --sweep 'coarse_ml_smooth=2;"
+                        "coarse_agg=64,coarse_dense_max=16384'")
     args = p.parse_args(argv)
     overrides = {
         k: v for k, v in (
@@ -114,9 +155,65 @@ def main(argv=None):
             ("coarse_dense_max", args.coarse_dense_max),
             ("restart", args.restart),
             ("neumann_order", args.neumann_order),
+            ("method", args.method),
         ) if v is not None
     }
-    run_one(args.matrix_id, args.steps, overrides)
+    import os
+
+    import jax.numpy as jnp
+
+    from navierstokes_tpu.fem.assembly import (
+        build_discretization,
+        load_discretization,
+        save_discretization,
+    )
+    from navierstokes_tpu.mesh.box import scaling_series_mesh
+
+    mesh = disc = None
+    if args.disc_cache:
+        if os.path.exists(f"{args.disc_cache}/mesh.pkl"):
+            t0 = time.perf_counter()
+            disc = load_discretization(args.disc_cache, dtype=jnp.float32)
+            mesh = disc.mesh
+            log(f"disc cache loaded in {time.perf_counter() - t0:.1f} s "
+                f"(ndof={disc.ndof})")
+        else:
+            mesh = scaling_series_mesh(args.matrix_id)
+            t0 = time.perf_counter()
+            disc = build_discretization(mesh, dtype=jnp.float32)
+            log(f"disc built in {time.perf_counter() - t0:.1f} s; saving")
+            save_discretization(disc, args.disc_cache)
+
+    if args.sweep is None:
+        run_one(args.matrix_id, args.steps, overrides, mesh=mesh, disc=disc,
+                release=args.release, skip_stokes=args.skip_stokes)
+        return
+
+    def parse_val(s):
+        try:
+            return int(s)
+        except ValueError:
+            try:
+                return float(s)
+            except ValueError:
+                return s
+
+    if disc is None:
+        mesh = scaling_series_mesh(args.matrix_id)
+        t0 = time.perf_counter()
+        disc = build_discretization(mesh, dtype=jnp.float32)
+        log(f"shared discretization built in {time.perf_counter() - t0:.1f} s")
+    for chunk in args.sweep.split(";"):
+        ov = dict(overrides)
+        if chunk.strip():
+            for kv in chunk.split(","):
+                k, v = kv.split("=")
+                ov[k.strip()] = parse_val(v.strip())
+        try:
+            run_one(args.matrix_id, args.steps, ov, mesh=mesh, disc=disc)
+        except Exception as e:  # record and continue the sweep
+            print(f"TRANSIENT id={args.matrix_id} FAILED cfg={chunk}: {e!r}",
+                  flush=True)
 
 
 if __name__ == "__main__":

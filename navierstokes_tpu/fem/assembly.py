@@ -143,6 +143,89 @@ def build_discretization(
     )
 
 
+def save_discretization(disc: Discretization, out_dir: str) -> None:
+    """Persist a Discretization to a directory of .npy/.pkl files.
+
+    The host-side pattern build is the setup bottleneck at scale (~10-20
+    minutes single-core at 2.35M rows); caching it makes large-mesh bench
+    reruns tractable.  Cold-path fields (BCSR/ELL scatter maps) are saved
+    too when present so the cache round-trips completely.
+    """
+    import os
+    import pickle
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/mesh.pkl", "wb") as f:
+        pickle.dump(disc.mesh, f)
+    with open(f"{out_dir}/dia_pattern.pkl", "wb") as f:
+        pickle.dump(disc.dia_pattern, f)
+    with open(f"{out_dir}/bc.pkl", "wb") as f:
+        pickle.dump(
+            {
+                "is_bc": np.asarray(disc.bc.is_bc),
+                "value": np.asarray(disc.bc.value),
+                "row_bc": np.asarray(disc.bc.row_bc),
+            },
+            f,
+        )
+    for name in ("tets", "vol", "grad", "h", "dia_elem_map"):
+        np.save(f"{out_dir}/{name}.npy", np.asarray(getattr(disc, name)))
+    for name in (
+        "indptr", "indices", "row_ids", "diag_slots", "slot_of_pair",
+        "ell_indices", "slot_of_bcsr",
+    ):
+        arr = getattr(disc, name)
+        if arr is not None and np.size(arr) > 1:
+            np.save(f"{out_dir}/{name}.npy", np.asarray(arr))
+
+
+def load_discretization(cache_dir: str, dtype=jnp.float32) -> Discretization:
+    """Load a Discretization saved by `save_discretization`.
+
+    Cold-path fields missing from the cache (older caches saved only the
+    transient-path subset) come back as 1-element dummies — fine for the
+    step/stokes path, which never reads them.
+    """
+    import os
+    import pickle
+
+    with open(f"{cache_dir}/mesh.pkl", "rb") as f:
+        mesh = pickle.load(f)
+    with open(f"{cache_dir}/dia_pattern.pkl", "rb") as f:
+        dia_pattern = pickle.load(f)
+    with open(f"{cache_dir}/bc.pkl", "rb") as f:
+        bcd = pickle.load(f)
+
+    def opt(name, default_shape=(1,), default_dtype=np.int64):
+        path = f"{cache_dir}/{name}.npy"
+        if os.path.exists(path):
+            return np.load(path)
+        return np.zeros(default_shape, dtype=default_dtype)
+
+    return Discretization(
+        mesh=mesh,
+        tets=jnp.asarray(np.load(f"{cache_dir}/tets.npy")),
+        vol=jnp.asarray(np.load(f"{cache_dir}/vol.npy"), dtype=dtype),
+        grad=jnp.asarray(np.load(f"{cache_dir}/grad.npy"), dtype=dtype),
+        h=jnp.asarray(np.load(f"{cache_dir}/h.npy"), dtype=dtype),
+        indptr=np.load(f"{cache_dir}/indptr.npy"),
+        indices=np.load(f"{cache_dir}/indices.npy"),
+        row_ids=opt("row_ids"),
+        diag_slots=opt("diag_slots"),
+        slot_of_pair=opt("slot_of_pair"),
+        ell_indices=opt("ell_indices", (1, 1)),
+        slot_of_bcsr=opt("slot_of_bcsr"),
+        dia_pattern=dia_pattern,
+        dia_flat_map=dia_pattern.flat_map,
+        dia_elem_map=jnp.asarray(np.load(f"{cache_dir}/dia_elem_map.npy")),
+        bc=DirichletBC(
+            is_bc=jnp.asarray(bcd["is_bc"]),
+            value=jnp.asarray(bcd["value"], dtype=dtype),
+            row_bc=jnp.asarray(bcd["row_bc"]),
+        ),
+    )
+
+
 def local_fields(tets, u):
     """Extract per-element nodal fields from the global DoF vector.
 

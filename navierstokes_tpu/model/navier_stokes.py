@@ -81,12 +81,16 @@ class NavierStokesSolver:
     """Flagship model: load mesh -> stokes init -> step -> dump, like the
     reference CLI, but as a library object with jitted compute."""
 
-    def __init__(self, mesh: Mesh, cfg: Optional[NSConfig] = None):
+    def __init__(self, mesh: Mesh, cfg: Optional[NSConfig] = None,
+                 disc: Optional[Discretization] = None):
         self.cfg = cfg or NSConfig()
         dtype = self.cfg.jnp_dtype
-        self.disc: Discretization = build_discretization(
-            mesh, dtype=dtype, ell_slots=self.cfg.ell_slots
-        )
+        # `disc` lets config sweeps share one discretization (the host-side
+        # pattern build dominates setup at 500k+ rows); it must have been
+        # built with the same mesh/dtype.  NOTE: run() at large scale calls
+        # release_assembly_buffers(), which mutates the shared disc.
+        self.disc: Discretization = disc if disc is not None else \
+            build_discretization(mesh, dtype=dtype, ell_slots=self.cfg.ell_slots)
         self.dtype = dtype
 
         # All large device arrays flow into the jitted step/stokes functions
@@ -143,7 +147,20 @@ class NavierStokesSolver:
             # Pretiled on TPU: the row-major XLA DIA SpMV is bimodal and was
             # measured in its ~450 us mode inside the step graph.
             offs = self.disc.dia_pattern.offsets
-            self._res_A = self._maybe_pretile(offs, self._jlin_dia)
+            if (
+                self.cfg.jacobian == "exact"
+                and self.cfg.krylov.preconditioner == "two_level"
+                and self.cfg.krylov.matvec_dtype is None
+            ):
+                # The residual operator differs from the prepared two_level
+                # operator ONLY in BC rows (zero_rows_dia), which check()
+                # masks out of F anyway — share the (pretiled) buffer
+                # instead of holding a second full operator copy (761 MB
+                # at 2.35M rows).  bj mode pre-scales by D^{-1}, so it
+                # cannot share.
+                self._res_A = self._exact_prep_val[2]
+            else:
+                self._res_A = self._maybe_pretile(offs, self._jlin_dia)
             self._res_M = self._maybe_pretile(offs, self._assemble_dia(
                 dummy_UL, frozenset({"mass_dt_bare"})
             ))
