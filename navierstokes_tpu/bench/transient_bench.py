@@ -93,11 +93,15 @@ def run_one(matrix_id: int, steps: int, overrides: dict,
     log(f"step 1 (incl compile) {compile_s:.1f} s "
         f"newton={int(stats.iters)} lin={int(stats.lin_iters)}")
 
-    u_prev, u_cur, du_cur = u, u1, du1
+    # Backward-Euler advance: the PREVIOUS TIME SOLUTION is both the Newton
+    # initial guess and u_old, exactly as model.run() does.  (An earlier
+    # version passed the state from two steps back as u_old, which re-solved
+    # the already-converged interval on alternating calls — halving apparent
+    # step cost.  See benchlogs/transient_scaling.txt round-3 note.)
+    u_cur, du_cur = u1, du1
     t0 = time.perf_counter()
     for _ in range(steps):
-        u_next, du_cur, stats = solver.step(u_cur, u_prev, du_cur)
-        u_prev, u_cur = u_cur, u_next
+        u_cur, du_cur, stats = solver.step(u_cur, u_cur, du_cur)
     u_cur.block_until_ready()
     step_ms = (time.perf_counter() - t0) / steps * 1e3
     import numpy as np
