@@ -129,6 +129,7 @@ def main(argv=None):
     p.add_argument("--coarse-agg", type=int, default=None)
     p.add_argument("--coarse-ml-smooth", type=int, default=None)
     p.add_argument("--coarse-ml-cycles", type=int, default=None)
+    p.add_argument("--coarse-ml-damp", type=float, default=None)
     p.add_argument("--coarse-dense-max", type=int, default=None)
     p.add_argument("--restart", type=int, default=None)
     p.add_argument("--neumann-order", type=int, default=None)
@@ -156,6 +157,7 @@ def main(argv=None):
             ("coarse_agg", args.coarse_agg),
             ("coarse_ml_smooth", args.coarse_ml_smooth),
             ("coarse_ml_cycles", args.coarse_ml_cycles),
+            ("coarse_ml_damp", args.coarse_ml_damp),
             ("coarse_dense_max", args.coarse_dense_max),
             ("restart", args.restart),
             ("neumann_order", args.neumann_order),

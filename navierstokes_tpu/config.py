@@ -48,6 +48,12 @@ class SolverConfig:
                                 # coarse_ml_smooth Jacobi sweeps); cheap at
                                 # coarse size, directly buys outer Krylov
                                 # iterations at 511k+ rows
+    coarse_ml_damp: float = 1.0  # damping on the level-1 Jacobi sweeps.
+                                # UNDAMPED block-Jacobi on the indefinite
+                                # saddle-point coarse system diverges
+                                # (measured: smooth>=2 at 511k rows maxes
+                                # Newton out); <=0.5 is the stable choice
+                                # when smoothing is enabled
     coarse_dense_max: int = 4096  # max coarse DoF for the dense inverse;
                                 # beyond it the coarse level is kept sparse
                                 # (DIA) and corrected by a SECOND, smaller

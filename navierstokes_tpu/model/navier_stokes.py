@@ -422,6 +422,7 @@ class NavierStokesSolver:
                 invd1_off = tuple(range(-3, 4))
                 n_smooth = self.cfg.krylov.coarse_ml_smooth
                 n_cycles = self.cfg.krylov.coarse_ml_cycles
+                damp = self.cfg.krylov.coarse_ml_damp
 
                 def coarse_solve(rc):
                     zc = jnp.zeros_like(rc)
@@ -429,7 +430,10 @@ class NavierStokesSolver:
                         r1 = rc - self._spmv_small(c_off, ac1, zc)
                         zc = zc + prolong(cs2, ac2_inv @ restrict(cs2, r1))
                         for _ in range(n_smooth):
-                            zc = zc + self._spmv_small(
+                            # damp < 1 required for stability when smoothing:
+                            # undamped Jacobi diverges on the saddle-point
+                            # coarse operator (see SolverConfig.coarse_ml_damp)
+                            zc = zc + damp * self._spmv_small(
                                 invd1_off, invd1_data,
                                 rc - self._spmv_small(c_off, ac1, zc),
                             )

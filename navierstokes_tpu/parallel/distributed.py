@@ -289,6 +289,7 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
             chunk = nc_pad // ndev
             n_smooth = self.cfg.krylov.coarse_ml_smooth
             n_cycles = self.cfg.krylov.coarse_ml_cycles
+            damp = self.cfg.krylov.coarse_ml_damp
 
             from navierstokes_tpu.solvers.coarse import _mix_matrix
 
@@ -301,7 +302,8 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
                     r1 = rc - spmv_dia(c_off, ac1_r, zc)
                     zc = zc + prolong(cs2, ac2_r @ restrict(cs2, r1))
                     for _ in range(n_smooth):
-                        zc = zc + spmv_dia(
+                        # same damping requirement as the single-chip path
+                        zc = zc + damp * spmv_dia(
                             invd1_off, invd1_r,
                             rc - spmv_dia(c_off, ac1_r, zc),
                         )

@@ -62,6 +62,9 @@ def main(argv=None):
                    help="multilevel coarse: smoothing sweeps per cycle")
     p.add_argument("--coarse-ml-cycles", type=int, default=None,
                    help="multilevel coarse: two-grid cycles per apply")
+    p.add_argument("--coarse-ml-damp", type=float, default=None,
+                   help="damping for the level-1 Jacobi sweeps (undamped "
+                        "diverges on the saddle-point coarse system)")
     p.add_argument("--neumann-order", type=int, default=None,
                    help="Neumann-series boost of block-Jacobi")
     p.add_argument("--ca-gmres", action="store_true",
@@ -131,6 +134,7 @@ def main(argv=None):
         ("coarse_agg", args.coarse_agg),
         ("coarse_ml_smooth", args.coarse_ml_smooth),
         ("coarse_ml_cycles", args.coarse_ml_cycles),
+        ("coarse_ml_damp", args.coarse_ml_damp),
         ("neumann_order", args.neumann_order),
         ("restart", args.restart),
     ):
