@@ -47,17 +47,20 @@ def run_one(matrix_id: int, steps: int, overrides: dict,
     from navierstokes_tpu.mesh.box import scaling_series_mesh
     from navierstokes_tpu.model import NavierStokesSolver
 
-    krylov = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
-                          neumann_order=0, preconditioner="two_level",
-                          coarse_agg=48)
+    base = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
+                        neumann_order=0, preconditioner="two_level",
+                        coarse_agg=48)
     import dataclasses
-    if overrides:
-        krylov = dataclasses.replace(krylov, **overrides)
+    krylov = dataclasses.replace(base, **overrides) if overrides else base
+    # stokes keeps the BASE tolerances/method so solver-method overrides
+    # (restart, ca_gmres, ...) don't change the initial condition.  NOTE:
+    # preconditioner-structure knobs still apply to stokes too — the prep
+    # is built from cfg.krylov (see model._prepare_operator_dia).
     cfg = NSConfig(
         dt=1e-3, reynolds=300.0, delta=0.05, dtype="float32",
         newton=NewtonConfig(rtol=1e-4, atol=1e-5, stol=1e-6,
                             du_tol=float("inf")),
-        krylov=krylov, stokes_krylov=krylov,
+        krylov=krylov, stokes_krylov=base,
     )
 
     if mesh is None:

@@ -113,6 +113,7 @@ class NavierStokesSolver:
         # keeps every phase's peak bounded.
         self._prepared = False
 
+        self._stokes_assemble_jit = jax.jit(self._stokes_dia)
         self._stokes_jit = jax.jit(self._stokes_solve)
         self._step_jit = jax.jit(self._newton_step)
 
@@ -497,7 +498,8 @@ class NavierStokesSolver:
 
     # -- Stokes initialization ----------------------------------------------
 
-    def _stokes_solve(self, consts):
+    def _stokes_dia(self, consts):
+        """Jitted: the BC-applied Stokes operator in DIA form (`:617-662`)."""
         from navierstokes_tpu.sparse.dia import zero_rows_dia
 
         d, cfg = self.disc, self.cfg
@@ -506,19 +508,39 @@ class NavierStokesSolver:
         stokes_dia = self._assemble_dia_c(
             consts, dummy_UL, STOKES_TERMS, cfg.stokes_reynolds
         )
-        stokes_dia = zero_rows_dia(
+        return zero_rows_dia(
             d.dia_pattern.offsets, stokes_dia, consts["bc_is_bc"]
         )
-        rhs = consts["bc_value"].astype(self.dtype)
+
+    def _stokes_solve(self, prep_arrays, rhs):
+        """Jitted: the Stokes solve on an already-prepared operator.
+
+        The static prep parts come from `self._stokes_prep_static` (set by
+        `stokes_init` before the first trace — same closure discipline as
+        the Newton step's `self._prep_static`)."""
         res = self._solve_prepared(
-            self._prepare_operator_dia(stokes_dia), rhs, cfg.stokes_krylov
+            _merge_prep(self._stokes_prep_static, prep_arrays), rhs,
+            self.cfg.stokes_krylov,
         )
         return res.x, res.iters, res.converged
 
     def stokes_init(self):
-        """Initial condition from the steady Stokes solve (`:1094-1095`)."""
-        u0, iters, conv = self._stokes_jit(self._consts)
+        """Initial condition from the steady Stokes solve (`:1094-1095`).
+
+        Three phases — jitted assembly, EAGER operator preparation, jitted
+        solve — so the preparation (which may include a host-side dense
+        coarse inverse at nc > 8192, see solvers/coarse.py) runs outside
+        the solve executable, and the solve program's compile-time temps
+        exclude the O(nc^2)-memory inverse pipeline."""
+        stokes_dia = self._stokes_assemble_jit(self._consts)
+        static, arrays = _split_prep(self._prepare_operator_dia(stokes_dia))
+        self._stokes_prep_static = static
+        u0, iters, conv = self._stokes_jit(arrays, self._stokes_rhs)
         return u0
+
+    @property
+    def _stokes_rhs(self):
+        return self.disc.bc.value.astype(self.dtype)
 
     # -- Newton time step ---------------------------------------------------
 

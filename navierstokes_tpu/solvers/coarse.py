@@ -168,6 +168,22 @@ def coarse_operator_inverse_dia(
     ac = ac_flat.reshape(nc, nc)
     if shift:
         ac = ac + shift * jnp.eye(nc, dtype=ac.dtype)
+    if nc > 4096 and jax.default_backend() == "tpu":
+        # XLA's on-chip LU inverse pipeline materializes O(nc/128) blocked
+        # triangular-solve temps — ~18 GB of HLO temp at nc=10648 (measured
+        # compile OOM at 511k rows, agg=48), and still multi-GB at nc~8k,
+        # which collides with the multi-GB standing operators when the
+        # exact-Jacobian prep runs at the 2.35M-row scale.  When called
+        # EAGERLY invert once on the host in f64 instead (~30 s single-core
+        # at nc=8k, setup-time only).  Under jit there is no host escape on
+        # this backend (no pure_callback) — stokes_init avoids this by
+        # preparing eagerly (see model.stokes_init).
+        try:
+            ac_host = np.asarray(ac, dtype=np.float64)
+        except jax.errors.ConcretizationTypeError:
+            ac_host = None
+        if ac_host is not None:
+            return jnp.asarray(np.linalg.inv(ac_host), dtype=ac.dtype)
     return jnp.linalg.inv(ac)
 
 
