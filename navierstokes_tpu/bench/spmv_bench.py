@@ -139,14 +139,29 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str, disc=None):
             )
 
             ratio = overlap_ratio(disc.ndof, offsets, tile=tile)
-            dov = pretile_dia_overlap(dia_data, disc.ndof, tile=tile,
-                                      offsets=offsets)
-            variants += [
-                (f"DIA Pallas FUSED t={tile} ({ratio:.2f} passes over A vs 2)",
-                 lambda v, d: spm2v_dia_pallas(offsets, d, v, n=disc.ndof,
-                                               tile=tile),
-                 (dov,)),
-            ]
+            h = max(max(abs(d) for d in offsets), 1)
+            e_pad = -(-(tile + 2 * h) // 128) * 128
+            ov_bytes = (-(-disc.ndof // tile)) * len(offsets) * e_pad * 4
+            if ov_bytes <= 1.5e9:
+                dov = pretile_dia_overlap(dia_data, disc.ndof, tile=tile,
+                                          offsets=offsets)
+                variants += [
+                    (f"DIA Pallas FUSED t={tile} "
+                     f"({ratio:.2f} passes over A vs 2)",
+                     lambda v, d: spm2v_dia_pallas(offsets, d, v, n=disc.ndof,
+                                                   tile=tile),
+                     (dov,)),
+                ]
+            else:
+                # no silent caps: at large bandwidth the overlap-pretiled
+                # operator explodes ((T+2h)/T passes stored explicitly)
+                print(
+                    f"SpM2V DIA Pallas FUSED skipped: overlap-pretiled "
+                    f"operator would be {ov_bytes / 1e9:.1f} GB "
+                    f"({ratio:.2f} passes over A vs 2 — fusion cannot win "
+                    f"at this bandwidth/tile)",
+                    flush=True,
+                )
 
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal(disc.ndof), dtype=dtype
