@@ -74,9 +74,13 @@ def main(argv=None):
         log(f"{method:9s} 32 iters {t32 * 1e3:8.2f} ms  64 iters "
             f"{t64 * 1e3:8.2f} ms  per-iter {per * 1e6:7.1f} us")
 
-    # Tolerance-targeted solve of a fixed synthetic RHS.
-    for method in ("gmres", "ca_gmres"):
-        kv = dataclasses.replace(krylov, method=method)
+    # Tolerance-targeted solve of a fixed synthetic RHS.  For ca_gmres the
+    # basis length (= min(restart, 16)) governs the monomial-basis
+    # conditioning, so sweep it — long bases lose orthogonality and stall.
+    configs = [("gmres", 30), ("ca_gmres", 16), ("ca_gmres", 12),
+               ("ca_gmres", 8), ("ca_gmres", 6)]
+    for method, restart in configs:
+        kv = dataclasses.replace(krylov, method=method, restart=restart)
 
         @jax.jit
         def solve(v, arrs, kv=kv):
@@ -91,7 +95,8 @@ def main(argv=None):
             x, it, rn, conv = solve(b, arrays)
         x.block_until_ready()
         dt = (time.perf_counter() - t0) / 5
-        log(f"{method:9s} to tol: {dt * 1e3:8.2f} ms  iters={int(it)} "
+        tag = f"{method}[m={min(restart, 16) if method == 'ca_gmres' else restart}]"
+        log(f"{tag:14s} to tol: {dt * 1e3:8.2f} ms  iters={int(it)} "
             f"resnorm={float(rn):.3e} converged={bool(conv)}")
 
 
