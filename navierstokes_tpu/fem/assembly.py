@@ -168,8 +168,22 @@ def save_discretization(disc: Discretization, out_dir: str) -> None:
             },
             f,
         )
+    def to_host(arr):
+        # Chunk multi-GB device->host fetches: a single np.asarray of the
+        # ~3.5 GB dia_elem_map wedged the axon relay for >1.5 h (measured,
+        # round 3); ~256 MB pieces stream fine.
+        if getattr(arr, "nbytes", 0) > 256 * 1024 * 1024 and \
+                not isinstance(arr, np.ndarray):
+            flat = arr.reshape(-1)
+            step = (256 * 1024 * 1024) // arr.dtype.itemsize
+            return np.concatenate([
+                np.asarray(flat[i:i + step])
+                for i in range(0, flat.shape[0], step)
+            ]).reshape(arr.shape)
+        return np.asarray(arr)
+
     for name in ("tets", "vol", "grad", "h", "dia_elem_map"):
-        np.save(f"{out_dir}/{name}.npy", np.asarray(getattr(disc, name)))
+        np.save(f"{out_dir}/{name}.npy", to_host(getattr(disc, name)))
     for name in (
         "indptr", "indices", "row_ids", "diag_slots", "slot_of_pair",
         "ell_indices", "slot_of_bcsr",

@@ -395,8 +395,14 @@ class NavierStokesSolver:
             return spmv_dia_pallas(offsets, data, x)
         return spmv_dia(offsets, data, x)
 
-    def _solve_prepared(self, prep, rhs, solver_cfg):
-        """Left-preconditioned GMRES on the prepared operator."""
+    def _prep_operators(self, prep):
+        """Prepared tuple -> (matvec, b_prep, parts).
+
+        `matvec` is the preconditioned operator GMRES iterates, `b_prep`
+        maps the raw RHS to the left-preconditioned one, and `parts` holds
+        the component applies (apply_A, apply_Dinv, coarse / apply_S) so
+        `bench/gmres_decomp` can time the REAL solver components
+        individually rather than re-implementations of them."""
         if prep[0] == "tl":
             from navierstokes_tpu.solvers.coarse import prolong, restrict
 
@@ -448,26 +454,40 @@ class NavierStokesSolver:
             def matvec(x):
                 return minv(apply_A(x))
 
-            b_eff = minv(rhs)
-        else:
-            _, s_offsets, s_data, invd_offsets, invd_data = prep
-            order = self.cfg.krylov.neumann_order
+            parts = {
+                "apply_A": apply_A,
+                "apply_Dinv": apply_Dinv,
+                "coarse": lambda r: prolong(cs, coarse_solve(restrict(cs, r))),
+                "minv": minv,
+            }
+            return matvec, minv, parts
 
-            def apply_S(x):
-                return self._spmv(s_offsets, s_data, x)
+        _, s_offsets, s_data, invd_offsets, invd_data = prep
+        order = self.cfg.krylov.neumann_order
 
-            def neumann(r):
-                acc = r
-                cur = r
-                for _ in range(order):
-                    cur = cur - apply_S(cur)
-                    acc = acc + cur
-                return acc
+        def apply_S(x):
+            return self._spmv(s_offsets, s_data, x)
 
-            def matvec(x):
-                return neumann(apply_S(x))
+        def neumann(r):
+            acc = r
+            cur = r
+            for _ in range(order):
+                cur = cur - apply_S(cur)
+                acc = acc + cur
+            return acc
 
-            b_eff = neumann(self._spmv_small(invd_offsets, invd_data, rhs))
+        def matvec(x):
+            return neumann(apply_S(x))
+
+        def b_prep(rhs):
+            return neumann(self._spmv_small(invd_offsets, invd_data, rhs))
+
+        return matvec, b_prep, {"apply_S": apply_S, "neumann": neumann}
+
+    def _solve_prepared(self, prep, rhs, solver_cfg):
+        """Left-preconditioned GMRES on the prepared operator."""
+        matvec, b_prep, _ = self._prep_operators(prep)
+        b_eff = b_prep(rhs)
 
         if solver_cfg.method == "cg":
             # For SPD sub-problems routed through the same machinery; the
