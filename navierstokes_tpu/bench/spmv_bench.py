@@ -127,6 +127,37 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str, disc=None):
                  lambda u: spmv_dia_pallas(offsets, d3, u, n=disc.ndof), v, k),
              (dia_3d,)),
         ]
+        # Component-plane (by-component-ordering) layout: 16 plane couplings
+        # x N_D node diagonals = 0.74x the scalar-DIA bytes (see
+        # benchlogs/layout_census.txt) — the BAIJ8 "second block layout"
+        # experiment, won on bandwidth instead of register reuse.  Timed in
+        # its native layout (a plane-layout solver converts only at step
+        # boundaries); correctness checked through the conversions.
+        from navierstokes_tpu.ops.plane_dia import (
+            extract_planes,
+            from_planes,
+            node_offsets_from_scalar,
+            pretile_planes,
+            spmv_plane_pallas,
+            to_planes,
+        )
+
+        noffs = node_offsets_from_scalar(offsets)
+        nb = disc.ndof // 4
+        plane_tile = tile
+        plane_4d = pretile_planes(
+            extract_planes(offsets, dia_data, nb, node_offsets=noffs),
+            nb, tile=plane_tile,
+        )
+        nbp = plane_4d.shape[0] * plane_tile
+        variants += [
+            (f"DIA plane-major t={plane_tile} (N_D={len(noffs)})",
+             lambda v, d4: matrix_power_like(
+                 lambda u: spmv_plane_pallas(noffs, d4, u, nb=nb), v, k),
+             (plane_4d,),
+             {"x": lambda v: to_planes(v, nb, nbp),
+              "post": lambda v: from_planes(v, nb, nbp)}),
+        ]
         if kernel == "spm2v":
             # The fused single-sweep A^2x (`mpk/SpM2V.cpp` analog): reads A
             # (T+2h)/T times instead of 2 — wins iff the bandwidth h is
@@ -172,11 +203,17 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str, disc=None):
     raw = nnz * jnp.dtype(dtype).itemsize
     y_ref = None
     t_ref = None
-    for name, fn, operands in variants:
+    for name, fn, operands, *layout in variants:
+        # Optional 4th element: {"x": to-native-layout, "post": back} for
+        # variants whose kernel runs in a different vector layout (timed
+        # native — the conversions happen once per solve, not per SpMV).
+        to_l = layout[0]["x"] if layout else (lambda v: v)
+        post = layout[0]["post"] if layout else (lambda v: v)
         mb = sum(o.nbytes for o in operands) / 1e6
         infl = sum(o.nbytes for o in operands) / raw
-        y = np.asarray(fn(x, *operands))
-        t = chained_op_time(fn, x, operands=operands)
+        xl = to_l(x)
+        y = np.asarray(post(fn(xl, *operands)))
+        t = chained_op_time(fn, xl, operands=operands)
         us = t * 1e6
         if y_ref is None:
             y_ref = y

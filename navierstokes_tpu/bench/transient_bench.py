@@ -102,19 +102,32 @@ def run_one(matrix_id: int, steps: int, overrides: dict,
     # the already-converged interval on alternating calls — halving apparent
     # step cost.  See benchlogs/transient_scaling.txt round-3 note.)
     u_cur, du_cur = u1, du1
+    per_step = []          # device scalars; fetched after the final sync
     t0 = time.perf_counter()
     for _ in range(steps):
         u_cur, du_cur, stats = solver.step(u_cur, u_cur, du_cur)
+        per_step.append(stats)
     u_cur.block_until_ready()
     step_ms = (time.perf_counter() - t0) / steps * 1e3
     import numpy as np
 
     assert np.all(np.isfinite(np.asarray(u_cur))), "non-finite state"
+    counts = [(int(s.iters), int(s.lin_iters)) for s in per_step]
+    mean_lin = sum(l for _, l in counts) / max(len(counts), 1)
+    # step_ms is a MEAN over steps whose iteration counts can differ a lot
+    # (the first post-compile steps are still relaxing the Stokes initial
+    # condition); ms/iter must divide by the MEAN lin count, not the last
+    # step's — dividing 6.5 s by the last step's 358 iters at matrix 10
+    # once produced a phantom "18 ms/iter" (see transient_scaling.txt).
+    log("per-step (newton, lin): " + " ".join(map(str, counts))
+        + f"; mean lin {mean_lin:.1f}"
+        + (f"; ms/lin-iter {step_ms / mean_lin:.2f}" if mean_lin else ""))
     result = {
         "id": matrix_id, "ndof": solver.disc.ndof,
         "setup_s": round(setup_s, 1), "stokes_s": round(stokes_s, 1),
         "compile_s": round(compile_s, 1), "step_ms": round(step_ms, 1),
         "newton": int(stats.iters), "lin": int(stats.lin_iters),
+        "mean_lin": round(mean_lin, 1),
     }
     cfg_str = ",".join(f"{k}={v}" for k, v in sorted(overrides.items())) or \
         "defaults"
