@@ -62,11 +62,15 @@ class SolverConfig:
                                 # path (a dense nc x nc inverse is O(nc^2)
                                 # memory / O(nc^3) setup: 452 MB at 511k
                                 # rows, 9.6 GB at 2.35M)
-    spmv: str = "auto"          # "auto" | "xla" | "pallas": auto uses the
-                                # Pallas windowed-VMEM kernel on TPU once x
-                                # outgrows VMEM (XLA then rereads x from HBM
-                                # per diagonal; the kernel is ~2.7x faster at
-                                # 511k rows), XLA otherwise
+    spmv: str = "auto"          # "auto" | "xla" | "pallas" | "plane": auto
+                                # uses the Pallas windowed-VMEM kernel on TPU
+                                # once x outgrows VMEM (XLA then rereads x
+                                # from HBM per diagonal; the kernel is ~2.7x
+                                # faster at 511k rows), XLA otherwise.
+                                # "plane" = component-plane operator layout
+                                # (by-component DoF ordering): 0.74x the
+                                # operator bytes (benchlogs/layout_census
+                                # .txt); two_level + single-chip only
     matvec_dtype: Optional[str] = None  # e.g. "bfloat16": store the scaled
                                     # operator in low precision (halves SpMV
                                     # HBM traffic; Krylov vectors stay in the

@@ -63,6 +63,12 @@ def _split_prep(prep):
     """Split a prepared-operator tuple into (static, arrays-pytree)."""
     if prep[0] == "bj":
         return ("bj", prep[1], prep[3]), (prep[2], prep[4])
+    if prep[0] == "tlp":
+        # tlp: ("tlp", node_offsets, plane_data, dinv_planes, c_arrays,
+        #       c_static, nb, nbp) — the component-plane layout
+        # (ops/plane_dia.py): two_level with 0.74x the operator bytes.
+        return (("tlp", prep[1], prep[5], prep[6], prep[7]),
+                (prep[2], prep[3], prep[4]))
     # tl: ("tl", offsets, dia_data, invd_offsets, invd_data, c_arrays,
     #      c_static) — c_arrays a tuple of device arrays, c_static either
     # ("dense", cs) or ("ml", cs, c_off, cs2) (see _prepare_operator_dia).
@@ -72,6 +78,9 @@ def _split_prep(prep):
 def _merge_prep(static, arrays):
     if static[0] == "bj":
         return ("bj", static[1], arrays[0], static[2], arrays[1])
+    if static[0] == "tlp":
+        return ("tlp", static[1], arrays[0], arrays[1], arrays[2],
+                static[2], static[3], static[4])
     return (
         "tl", static[1], arrays[0], static[2], arrays[1], arrays[2], static[3],
     )
@@ -162,9 +171,25 @@ class NavierStokesSolver:
                 self._res_A = self._exact_prep_val[2]
             else:
                 self._res_A = self._maybe_pretile(offs, self._jlin_dia)
-            self._res_M = self._maybe_pretile(offs, self._assemble_dia(
+            mass_dia = self._assemble_dia(
                 dummy_UL, frozenset({"mass_dt_bare"})
-            ))
+            )
+            if getattr(self._res_A, "ndim", 2) == 4:
+                # Plane-mode share: res_A is the component-plane prepared
+                # operator; give the mass operator the same layout (same
+                # tile => same nbp) so the residual runs plane-native.
+                from navierstokes_tpu.ops.plane_dia import (
+                    extract_planes,
+                    pretile_planes,
+                )
+
+                nb = self.disc.mesh.nv
+                self._res_M = pretile_planes(
+                    extract_planes(offs, mass_dia, nb),
+                    nb, tile=self._plane_tile(nb),
+                )
+            else:
+                self._res_M = self._maybe_pretile(offs, mass_dia)
             self._consts["res_A"] = self._res_A
             self._consts["res_M"] = self._res_M
         self._prepared = True
@@ -310,6 +335,35 @@ class NavierStokesSolver:
                 )
                 c_arrays = (ac1, invd1.data, ac2_inv)
                 c_static = ("ml", cs, c_off, cs2)
+            if self._plane_mode():
+                # Component-plane layout (the reference's by-component DoF
+                # ordering, `src/create_mat.c:55-61`, as the performance
+                # layout): operator stored as 16 plane couplings over the
+                # N_D node diagonals — 0.74x the scalar-DIA bytes on the
+                # channel family (benchlogs/layout_census.txt), applied by
+                # ops/plane_dia.spmv_plane_pallas.  D^{-1} becomes 16
+                # elementwise plane multiplies (vs a 7-diagonal SpMV).
+                from navierstokes_tpu.ops.plane_dia import (
+                    extract_planes,
+                    node_offsets_from_scalar,
+                    pretile_planes,
+                )
+
+                nb = d.mesh.nv
+                noffs = node_offsets_from_scalar(offsets)
+                tile = self._plane_tile(nb)
+                p4 = pretile_planes(
+                    extract_planes(offsets, dia_data, nb,
+                                   node_offsets=noffs),
+                    nb, tile=tile,
+                )
+                nbp = p4.shape[0] * tile
+                # (nb, 4, 4) inverted diagonal blocks -> (16, nbp) planes:
+                # row 4a+b holds D^{-1}[:, a, b].
+                d16 = jnp.pad(
+                    inv_diag, ((0, nbp - nb), (0, 0), (0, 0))
+                ).transpose(1, 2, 0).reshape(16, nbp)
+                return ("tlp", noffs, p4, d16, c_arrays, c_static, nb, nbp)
             if mv_dtype is not None:
                 dia_data = dia_data.astype(jnp.dtype(mv_dtype))
             dia_data = self._maybe_pretile(offsets, dia_data)
@@ -334,6 +388,21 @@ class NavierStokesSolver:
             d.dia_pattern, bcsr_values, flat_map_dev=d.dia_flat_map
         )
         return self._prepare_operator_dia(dia_data)
+
+    def _plane_mode(self) -> bool:
+        """Component-plane operator layout (SolverConfig.spmv='plane').
+
+        Explicit opt-in; requires the two_level preconditioner (the bj path
+        pre-scales by D^{-1}, which fills the block band — stays scalar) and
+        the single-chip solver (the distributed subclass overrides this to
+        False: its halo exchange slices row-major scalar data per shard)."""
+        return self.cfg.krylov.spmv == "plane"
+
+    @staticmethod
+    def _plane_tile(nb: int) -> int:
+        """Node-tile for the plane kernel: same VMEM budget reasoning as
+        `_maybe_pretile` (the per-step operator block is NT*tile*4 B)."""
+        return 8192 if nb <= 40_000 else 4096
 
     def _maybe_pretile(self, offsets, data):
         """Pre-tile DIA data to (grid, K, tile) when the solve will dispatch
@@ -395,6 +464,43 @@ class NavierStokesSolver:
             return spmv_dia_pallas(offsets, data, x)
         return spmv_dia(offsets, data, x)
 
+    def _make_coarse_solve(self, c_arrays, c_static):
+        """Coarse-level solve closure shared by the scalar ('tl') and
+        component-plane ('tlp') two-level paths.  Dense: one (nc, nc) GEMV.
+        Multilevel: the sparse level-1 coarse system is itself solved by one
+        two-grid cycle (dense level-2 correction + damped level-1
+        block-Jacobi smoothing) — same structure, one level down."""
+        if c_static[0] == "dense":
+            def coarse_solve(rc):
+                return c_arrays[0] @ rc
+            return coarse_solve
+
+        from navierstokes_tpu.solvers.coarse import prolong, restrict
+
+        _, _, c_off, cs2 = c_static
+        ac1, invd1_data, ac2_inv = c_arrays
+        invd1_off = tuple(range(-3, 4))
+        n_smooth = self.cfg.krylov.coarse_ml_smooth
+        n_cycles = self.cfg.krylov.coarse_ml_cycles
+        damp = self.cfg.krylov.coarse_ml_damp
+
+        def coarse_solve(rc):
+            zc = jnp.zeros_like(rc)
+            for _ in range(n_cycles):
+                r1 = rc - self._spmv_small(c_off, ac1, zc)
+                zc = zc + prolong(cs2, ac2_inv @ restrict(cs2, r1))
+                for _ in range(n_smooth):
+                    # damp < 1 required for stability when smoothing:
+                    # undamped Jacobi diverges on the saddle-point
+                    # coarse operator (see SolverConfig.coarse_ml_damp)
+                    zc = zc + damp * self._spmv_small(
+                        invd1_off, invd1_data,
+                        rc - self._spmv_small(c_off, ac1, zc),
+                    )
+            return zc
+
+        return coarse_solve
+
     def _prep_operators(self, prep):
         """Prepared tuple -> (matvec, b_prep, parts).
 
@@ -403,6 +509,53 @@ class NavierStokesSolver:
         the component applies (apply_A, apply_Dinv, coarse / apply_S) so
         `bench/gmres_decomp` can time the REAL solver components
         individually rather than re-implementations of them."""
+        if prep[0] == "tlp":
+            from navierstokes_tpu.ops.plane_dia import (
+                from_planes,
+                spmv_plane_pallas,
+                to_planes,
+            )
+            from navierstokes_tpu.solvers.coarse import prolong, restrict
+
+            _, noffs, p4, d16, c_arrays, c_static, nb, nbp = prep
+            cs = c_static[1]
+            coarse_solve = self._make_coarse_solve(c_arrays, c_static)
+
+            def apply_A(x):
+                return spmv_plane_pallas(noffs, p4, x, nb=nb)
+
+            def apply_Dinv(r):
+                # Block-diagonal D^{-1} in plane layout: 16 elementwise
+                # multiplies over (nbp,) planes — no shifted slices at all.
+                r2 = r.reshape(4, nbp)
+                return jnp.concatenate(
+                    [sum(d16[4 * a + b] * r2[b] for b in range(4))
+                     for a in range(4)]
+                )
+
+            def coarse(r):
+                # Coarse R/P run on the interleaved view: two O(n) layout
+                # transposes per apply (~1% of a preconditioned matvec) keep
+                # the aggregation machinery shared with the scalar path.
+                zi = prolong(cs, coarse_solve(restrict(cs, from_planes(
+                    r, nb, nbp))))
+                return to_planes(zi, nb, nbp)
+
+            def minv(r):
+                z = coarse(r)
+                return z + apply_Dinv(r - apply_A(z))
+
+            def matvec(x):
+                return minv(apply_A(x))
+
+            parts = {
+                "apply_A": apply_A,
+                "apply_Dinv": apply_Dinv,
+                "coarse": coarse,
+                "minv": minv,
+            }
+            return matvec, minv, parts
+
         if prep[0] == "tl":
             from navierstokes_tpu.solvers.coarse import prolong, restrict
 
@@ -416,35 +569,7 @@ class NavierStokesSolver:
             def apply_Dinv(r):
                 return self._spmv_small(invd_offsets, invd_data, r)
 
-            if c_static[0] == "dense":
-                def coarse_solve(rc):
-                    return c_arrays[0] @ rc
-            else:
-                # multilevel: the sparse level-1 coarse system is itself
-                # solved by one two-grid cycle (dense level-2 correction +
-                # level-1 block-Jacobi smooth) — same structure, one level
-                # down.
-                _, _, c_off, cs2 = c_static
-                ac1, invd1_data, ac2_inv = c_arrays
-                invd1_off = tuple(range(-3, 4))
-                n_smooth = self.cfg.krylov.coarse_ml_smooth
-                n_cycles = self.cfg.krylov.coarse_ml_cycles
-                damp = self.cfg.krylov.coarse_ml_damp
-
-                def coarse_solve(rc):
-                    zc = jnp.zeros_like(rc)
-                    for _ in range(n_cycles):
-                        r1 = rc - self._spmv_small(c_off, ac1, zc)
-                        zc = zc + prolong(cs2, ac2_inv @ restrict(cs2, r1))
-                        for _ in range(n_smooth):
-                            # damp < 1 required for stability when smoothing:
-                            # undamped Jacobi diverges on the saddle-point
-                            # coarse operator (see SolverConfig.coarse_ml_damp)
-                            zc = zc + damp * self._spmv_small(
-                                invd1_off, invd1_data,
-                                rc - self._spmv_small(c_off, ac1, zc),
-                            )
-                    return zc
+            coarse_solve = self._make_coarse_solve(c_arrays, c_static)
 
             def minv(r):
                 # multiplicative two-grid: coarse correction + Jacobi smooth
@@ -486,6 +611,20 @@ class NavierStokesSolver:
 
     def _solve_prepared(self, prep, rhs, solver_cfg):
         """Left-preconditioned GMRES on the prepared operator."""
+        if prep[0] == "tlp":
+            # Component-plane layout: the Krylov space lives in plane-major
+            # vectors; convert the RHS in and the solution out ONCE per
+            # solve (dots/axpys inside GMRES are layout-agnostic).
+            from navierstokes_tpu.ops.plane_dia import from_planes, to_planes
+
+            nb, nbp = prep[6], prep[7]
+            res = self._solve_prepared_raw(
+                prep, to_planes(rhs, nb, nbp), solver_cfg
+            )
+            return res._replace(x=from_planes(res.x, nb, nbp))
+        return self._solve_prepared_raw(prep, rhs, solver_cfg)
+
+    def _solve_prepared_raw(self, prep, rhs, solver_cfg):
         matvec, b_prep, _ = self._prep_operators(prep)
         b_eff = b_prep(rhs)
 
@@ -575,7 +714,28 @@ class NavierStokesSolver:
         is_bc = consts["bc_is_bc"]
         bc_value = consts["bc_value"]
 
+        plane_res = (cfg.residual == "operator"
+                     and getattr(consts["res_A"], "ndim", 2) == 4)
+        if plane_res:
+            from navierstokes_tpu.ops.plane_dia import (
+                from_planes,
+                node_offsets_from_scalar,
+                spmv_plane_pallas,
+                to_planes,
+            )
+
+            noffs = node_offsets_from_scalar(offsets)
+            nb = d.mesh.nv
+            nbp = consts["res_A"].shape[0] * consts["res_A"].shape[3]
+            # u_old is fixed for the step: convert once at trace level.
+            uold_p = to_planes(u_old.astype(dtype), nb, nbp)
+
         def residual(u):
+            if plane_res:
+                f = spmv_plane_pallas(noffs, consts["res_A"],
+                                      to_planes(u, nb, nbp), nb=nb) \
+                    - spmv_plane_pallas(noffs, consts["res_M"], uold_p, nb=nb)
+                return from_planes(f, nb, nbp)
             if cfg.residual == "operator":
                 return self._spmv(offsets, consts["res_A"], u) - self._spmv(
                     offsets, consts["res_M"], u_old

@@ -64,6 +64,11 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
         # partitioned SpMV slices row-major DIA data per shard: never pretile
         return data
 
+    def _plane_mode(self) -> bool:
+        # The component-plane layout is single-chip: the partitioned SpMV's
+        # halo exchange slices row-major scalar-DIA data per shard.
+        return False
+
     # -- sharded setup: assembly in the partitioned view --------------------
     #
     # Round-1 weakness (PARITY.md): assembly and operator preparation ran in

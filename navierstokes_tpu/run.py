@@ -52,7 +52,7 @@ def main(argv=None):
                    help="print an event-log report at the end")
     # Perf knobs (the `-matmult_variant`/`-avx2` analog,
     # `src/kernels/variant_selector.c:3-15`): sweepable without code edits.
-    p.add_argument("--spmv", choices=["auto", "xla", "pallas"], default=None,
+    p.add_argument("--spmv", choices=["auto", "xla", "pallas", "plane"], default=None,
                    help="SpMV kernel routing (default: auto)")
     p.add_argument("--preconditioner", default=None,
                    choices=["block_jacobi", "two_level", "ilu0", "none"])

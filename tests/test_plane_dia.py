@@ -89,3 +89,44 @@ def test_extract_planes_values():
                 if 0 <= i + d < nb:
                     assert planes[a, j, i] == dense[4 * i + a,
                                                     4 * (i + d) + b]
+
+
+def test_plane_mode_solver_matches_scalar():
+    """spmv='plane' end-to-end (stokes + one Newton step) == scalar path.
+
+    The whole Krylov space runs in component-plane layout; conversions
+    happen only at the solve boundary, so agreement to f64 GMRES tolerance
+    validates the plane operator, the plane D^{-1}, the coarse round-trip,
+    and the plane-native residual at once."""
+    import dataclasses
+
+    from navierstokes_tpu.config import NSConfig, SolverConfig
+    from navierstokes_tpu.mesh import channel_mesh
+    from navierstokes_tpu.model import NavierStokesSolver
+
+    mesh = channel_mesh(6, 3, 3, length=3.0, obstacle=True)
+    kr = SolverConfig(rtol=1e-12, atol=1e-13, maxiter=4000,
+                      preconditioner="two_level", coarse_agg=4)
+    cfg = NSConfig(dt=0.01, t_final=0.02, reynolds=100.0, delta=0.1,
+                   dtype="float64", krylov=kr, stokes_krylov=kr)
+    krp = dataclasses.replace(kr, spmv="plane")
+    cfg_p = dataclasses.replace(cfg, krylov=krp, stokes_krylov=krp)
+
+    s = NavierStokesSolver(mesh, cfg)
+    sp = NavierStokesSolver(mesh, cfg_p, disc=s.disc)
+    assert sp._exact_prep[0] == "tlp"
+    assert sp._res_A.ndim == 4 and sp._res_M.ndim == 4   # shared plane ops
+
+    u0 = s.stokes_init()
+    u0p = sp.stokes_init()
+    err0 = np.linalg.norm(np.asarray(u0p) - np.asarray(u0)) / max(
+        np.linalg.norm(np.asarray(u0)), 1e-30)
+    assert err0 < 1e-8, f"stokes disagreement {err0}"
+
+    du = jnp.zeros_like(u0)
+    u1, _, st = s.step(u0, u0, du)
+    u1p, _, stp = sp.step(u0, u0, du)
+    assert bool(st.converged) and bool(stp.converged)
+    err = np.linalg.norm(np.asarray(u1p) - np.asarray(u1)) / np.linalg.norm(
+        np.asarray(u1))
+    assert err < 1e-8, f"plane-mode step disagreement {err}"
