@@ -40,6 +40,8 @@ def main(argv=None):
     p.add_argument("--matrix-id", type=int, default=6)
     p.add_argument("--coarse-agg", type=int, default=None)
     p.add_argument("--restart", type=int, default=30)
+    p.add_argument("--spmv", default=None,
+                   help="override SolverConfig.spmv (e.g. plane)")
     p.add_argument("--disc-cache", default=None)
     p.add_argument("--skip-slope", action="store_true",
                    help="components only (each slope pair is 2 more big "
@@ -61,7 +63,9 @@ def main(argv=None):
     krylov = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
                           neumann_order=0, preconditioner="two_level",
                           coarse_agg=agg, coarse_dense_max=16384,
-                          restart=args.restart)
+                          restart=args.restart,
+                          **({"spmv": args.spmv} if args.spmv
+                             else {}))
     cfg = NSConfig(
         dt=1e-3, reynolds=300.0, delta=0.05, dtype="float32",
         newton=NewtonConfig(rtol=1e-4, atol=1e-5, stol=1e-6,
@@ -101,7 +105,10 @@ def main(argv=None):
         f"prep {time.perf_counter() - t0:.1f} s")
     static, arrays = _split_prep(solver._exact_prep)
     rng = np.random.default_rng(0)
-    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    # Plane-mode preps ('tlp') iterate on plane-major vectors of length
+    # 4*nbp; the component closures take that layout directly.
+    n_vec = 4 * static[4] if static[0] == "tlp" else n
+    b = jnp.asarray(rng.standard_normal(n_vec), jnp.float32)
     m = args.restart
 
     def part_fn(name):
@@ -128,7 +135,7 @@ def main(argv=None):
 
     # GMRES internals at half-full basis (k = m//2): CGS2's four GEMVs read
     # the whole (m+1, n) buffer regardless of k (rows > k are zero-masked).
-    V = jnp.asarray(rng.standard_normal((m + 1, n)), jnp.float32)
+    V = jnp.asarray(rng.standard_normal((m + 1, n_vec)), jnp.float32)
     k = m // 2
     active = (jnp.arange(m + 1) <= k).astype(jnp.float32)
 
@@ -149,6 +156,8 @@ def main(argv=None):
     if args.skip_slope:
         return
 
+    b0 = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
     def timed_solve(iters, reps=5):
         # Direct wall timing with manual data-chaining (each solve's RHS is
         # the previous normalized solution, so calls cannot overlap);
@@ -161,7 +170,7 @@ def main(argv=None):
             x = solver._solve_prepared(_merge_prep(static, arrs), v, kv).x
             return x / jnp.maximum(jnp.max(jnp.abs(x)), 1e-30)
 
-        v = s(b, arrays)
+        v = s(b0, arrays)
         v.block_until_ready()               # compile + warmup
         t0 = time.perf_counter()
         for _ in range(reps):

@@ -148,6 +148,8 @@ def main(argv=None):
     p.add_argument("--coarse-ml-damp", type=float, default=None)
     p.add_argument("--coarse-dense-max", type=int, default=None)
     p.add_argument("--restart", type=int, default=None)
+    p.add_argument("--spmv", default=None,
+                   choices=["auto", "xla", "pallas", "plane"])
     p.add_argument("--neumann-order", type=int, default=None)
     p.add_argument("--method", default=None,
                    choices=["gmres", "ca_gmres", "cg"])
@@ -176,6 +178,7 @@ def main(argv=None):
             ("coarse_ml_damp", args.coarse_ml_damp),
             ("coarse_dense_max", args.coarse_dense_max),
             ("restart", args.restart),
+            ("spmv", args.spmv),
             ("neumann_order", args.neumann_order),
             ("method", args.method),
         ) if v is not None

@@ -420,7 +420,7 @@ class NavierStokesSolver:
             or jax.default_backend() != "tpu"
         ):
             return data
-        if kind == "auto" and data.nbytes <= 4 * 1024 * 1024:
+        if kind in ("auto", "plane") and data.nbytes <= 4 * 1024 * 1024:
             return data            # tiny operators: XLA is fine, skip a copy
         from navierstokes_tpu.ops.pallas_dia import pretile_dia
 
@@ -437,8 +437,10 @@ class NavierStokesSolver:
         if data.ndim == 3:                 # pre-tiled => windowed Pallas
             return spmv_dia_pallas(offsets, data, x, n=x.shape[0])
         kind = self.cfg.krylov.spmv
+        # 'plane' acts like 'auto' for any operator still in scalar-DIA
+        # layout (the distributed subclass, which forces _plane_mode off).
         if kind == "pallas" or (
-            kind == "auto"
+            kind in ("auto", "plane")
             and jax.default_backend() == "tpu"
             and (data.shape[1] + 2 * max(abs(d) for d in offsets))
             * data.dtype.itemsize
@@ -472,7 +474,10 @@ class NavierStokesSolver:
         block-Jacobi smoothing) — same structure, one level down."""
         if c_static[0] == "dense":
             def coarse_solve(rc):
-                return c_arrays[0] @ rc
+                # HIGHEST: the MXU default would round A_c^{-1} AND rc to
+                # bf16 (see solvers.coarse.restrict for the measured cost).
+                return jnp.matmul(c_arrays[0], rc,
+                                  precision=jax.lax.Precision.HIGHEST)
             return coarse_solve
 
         from navierstokes_tpu.solvers.coarse import prolong, restrict
@@ -488,7 +493,9 @@ class NavierStokesSolver:
             zc = jnp.zeros_like(rc)
             for _ in range(n_cycles):
                 r1 = rc - self._spmv_small(c_off, ac1, zc)
-                zc = zc + prolong(cs2, ac2_inv @ restrict(cs2, r1))
+                zc = zc + prolong(cs2, jnp.matmul(
+                    ac2_inv, restrict(cs2, r1),
+                    precision=jax.lax.Precision.HIGHEST))
                 for _ in range(n_smooth):
                     # damp < 1 required for stability when smoothing:
                     # undamped Jacobi diverges on the saddle-point
@@ -510,12 +517,11 @@ class NavierStokesSolver:
         `bench/gmres_decomp` can time the REAL solver components
         individually rather than re-implementations of them."""
         if prep[0] == "tlp":
-            from navierstokes_tpu.ops.plane_dia import (
-                from_planes,
-                spmv_plane_pallas,
-                to_planes,
+            from navierstokes_tpu.ops.plane_dia import spmv_plane_pallas
+            from navierstokes_tpu.solvers.coarse import (
+                prolong_planes,
+                restrict_planes,
             )
-            from navierstokes_tpu.solvers.coarse import prolong, restrict
 
             _, noffs, p4, d16, c_arrays, c_static, nb, nbp = prep
             cs = c_static[1]
@@ -528,18 +534,20 @@ class NavierStokesSolver:
                 # Block-diagonal D^{-1} in plane layout: 16 elementwise
                 # multiplies over (nbp,) planes — no shifted slices at all.
                 r2 = r.reshape(4, nbp)
-                return jnp.concatenate(
-                    [sum(d16[4 * a + b] * r2[b] for b in range(4))
-                     for a in range(4)]
-                )
+                return jnp.einsum("abn,bn->an",
+                                  d16.reshape(4, 4, nbp), r2,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  ).reshape(-1)
 
             def coarse(r):
-                # Coarse R/P run on the interleaved view: two O(n) layout
-                # transposes per apply (~1% of a preconditioned matvec) keep
-                # the aggregation machinery shared with the scalar path.
-                zi = prolong(cs, coarse_solve(restrict(cs, from_planes(
-                    r, nb, nbp))))
-                return to_planes(zi, nb, nbp)
+                # Restriction/prolongation natively on planes (reshape-sum /
+                # broadcast); the plane<->interleaved conversion happens on
+                # the COARSE vector only (nc <= ~16k: free), so the existing
+                # dense/multilevel coarse_solve is reused unchanged.  (An
+                # earlier version converted the FINE vector per apply: +52
+                # us/iteration at 117k rows.)
+                zc = coarse_solve(restrict_planes(cs, r, nbp))
+                return prolong_planes(cs, zc, nbp, nb)
 
             def minv(r):
                 z = coarse(r)

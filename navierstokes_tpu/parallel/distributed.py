@@ -261,11 +261,16 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
                 # local restriction: sum each aggregate, per component —
                 # flat-matmul form (no (..., 4)-minor temps: XLA tile-pads
                 # those 32x, see solvers/coarse._mix_matrix)
+                # HIGHEST: MXU default bf16 operand rounding damages
+                # the coarse correction (see solvers.coarse.restrict)
+                hp = jax.lax.Precision.HIGHEST
                 mix = _mix_matrix(agg, r_loc.dtype)
-                rc_loc = (r_loc.reshape(-1, 4 * agg) @ mix).reshape(-1)
+                rc_loc = jnp.matmul(r_loc.reshape(-1, 4 * agg), mix,
+                                    precision=hp).reshape(-1)
                 rc = jax.lax.all_gather(rc_loc, ax, tiled=True)  # (nc_pad,)
-                zc_loc = acinv_loc @ rc                      # own coarse rows
-                z_loc = (zc_loc.reshape(-1, 4) @ mix.T).reshape(-1)
+                zc_loc = jnp.matmul(acinv_loc, rc, precision=hp)
+                z_loc = jnp.matmul(zc_loc.reshape(-1, 4), mix.T,
+                                   precision=hp).reshape(-1)
                 return z_loc * mask_loc
 
             coarse_correct = jax.shard_map(
@@ -299,13 +304,16 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
             from navierstokes_tpu.solvers.coarse import _mix_matrix
 
             def _coarse_body_ml(r_loc, ac1_r, invd1_r, ac2_r, mask_loc):
+                hp = jax.lax.Precision.HIGHEST
                 mix = _mix_matrix(agg, r_loc.dtype)
-                rc_loc = (r_loc.reshape(-1, 4 * agg) @ mix).reshape(-1)
+                rc_loc = jnp.matmul(r_loc.reshape(-1, 4 * agg), mix,
+                                    precision=hp).reshape(-1)
                 rc = jax.lax.all_gather(rc_loc, ax, tiled=True)[:nc]
                 zc = jnp.zeros_like(rc)
                 for _ in range(n_cycles):
                     r1 = rc - spmv_dia(c_off, ac1_r, zc)
-                    zc = zc + prolong(cs2, ac2_r @ restrict(cs2, r1))
+                    zc = zc + prolong(cs2, jnp.matmul(
+                        ac2_r, restrict(cs2, r1), precision=hp))
                     for _ in range(n_smooth):
                         # same damping requirement as the single-chip path
                         zc = zc + damp * spmv_dia(
@@ -316,7 +324,8 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
                 zc_loc = jax.lax.dynamic_slice(
                     zc, (jax.lax.axis_index(ax) * chunk,), (chunk,)
                 )
-                z_loc = (zc_loc.reshape(-1, 4) @ mix.T).reshape(-1)
+                z_loc = jnp.matmul(zc_loc.reshape(-1, 4), mix.T,
+                                   precision=hp).reshape(-1)
                 return z_loc * mask_loc
 
             coarse_correct = jax.shard_map(

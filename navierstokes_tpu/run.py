@@ -110,15 +110,17 @@ def main(argv=None):
         # v5e chip at 121k DoF: ~144 ms/step (newton 2, ~100 GMRES iters).
         newton = NewtonConfig(rtol=1e-4, atol=1e-5, stol=1e-6,
                               du_tol=float("inf"))
-        # two_level agg=48 measured best on one v5e at 121k DoF: 101.6 ms/
-        # step at 53 GMRES iters vs 134.3 ms / 226 iters for block_jacobi
-        # with the Pallas pre-tiled matvec (see PARITY.md).
+        # two_level + component-plane layout measured best on one v5e at
+        # 117k DoF: 11.4 ms/step (newton 2, 69 GMRES iters, 0.16 ms/iter)
+        # vs 16.3 ms for the scalar-DIA layout at identical counts — see
+        # benchlogs/transient_scaling.txt round-3 plane rows.  agg=48 from
+        # the round-2 sweep (PARITY.md).
         krylov = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
                               neumann_order=0, preconditioner="two_level",
-                              coarse_agg=48)
+                              coarse_agg=48, spmv="plane")
         stokes = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
                               neumann_order=0, preconditioner="two_level",
-                              coarse_agg=48)
+                              coarse_agg=48, spmv="plane")
     else:
         newton = NewtonConfig()
         krylov = SolverConfig()

@@ -76,17 +76,61 @@ def _mix_matrix(agg: int, dtype):
 
 
 def restrict(cs: CoarseSpace, r):
-    """R r: per-component sum over each aggregate. (4*nb,) -> (nc,)."""
+    """R r: per-component sum over each aggregate. (4*nb,) -> (nc,).
+
+    precision=HIGHEST is load-bearing: the TPU MXU default rounds BOTH
+    matmul operands to bf16, i.e. the residual values are truncated to 8
+    mantissa bits BEFORE the aggregate sums.  Measured on v5e at m6: the
+    damaged coarse correction costs 2.6x linear iterations and an extra
+    Newton iteration per step (181 vs 69 lin iters — see
+    benchlogs/transient_scaling.txt round-3 precision note).  These are
+    bandwidth-bound tall-skinny GEMVs; exact f32 passes are free."""
     r2 = jnp.pad(r, (0, 4 * (cs.nb_pad - cs.nb))).reshape(
         cs.n_agg, 4 * cs.agg_size
     )
-    return (r2 @ _mix_matrix(cs.agg_size, r.dtype)).reshape(-1)
+    return jnp.matmul(
+        r2, _mix_matrix(cs.agg_size, r.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1)
 
 
 def prolong(cs: CoarseSpace, rc):
-    """P rc = R^T rc: inject aggregate values back. (nc,) -> (4*nb,)."""
-    out = rc.reshape(cs.n_agg, 4) @ _mix_matrix(cs.agg_size, rc.dtype).T
+    """P rc = R^T rc: inject aggregate values back. (nc,) -> (4*nb,).
+
+    precision=HIGHEST for the same reason as `restrict` (bf16 operand
+    rounding would truncate the coarse correction to 8 mantissa bits)."""
+    out = jnp.matmul(
+        rc.reshape(cs.n_agg, 4), _mix_matrix(cs.agg_size, rc.dtype).T,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return out.reshape(-1)[: 4 * cs.nb]
+
+
+def restrict_planes(cs: CoarseSpace, rp, nbp: int):
+    """R r on a plane-major padded fine vector -> interleaved coarse (nc,).
+
+    Plane layout makes restriction a pure reshape-sum per plane; the
+    component-interleave happens on the COARSE vector (nc <= ~16k), where a
+    transpose costs nothing — this replaces two O(n) fine-vector layout
+    conversions per preconditioner apply that measured ~52 us at 117k rows
+    (benchlogs/gmres_decomposition.txt round-3 plane rows)."""
+    assert cs.nb_pad <= nbp, (cs.nb_pad, nbp)
+    r2 = rp.reshape(4, nbp)[:, :cs.nb_pad]
+    # (rows past nb are zero by construction throughout the plane solve)
+    rc = r2.reshape(4, cs.n_agg, cs.agg_size).sum(-1)     # (4, n_agg)
+    return rc.T.reshape(-1)                               # interleaved (nc,)
+
+
+def prolong_planes(cs: CoarseSpace, zc, nbp: int, nb: int, dtype=None):
+    """P zc: interleaved coarse (nc,) -> plane-major padded fine vector."""
+    z2 = zc.reshape(cs.n_agg, 4).T                        # (4, n_agg)
+    zf = jnp.broadcast_to(
+        z2[:, :, None], (4, cs.n_agg, cs.agg_size)
+    ).reshape(4, cs.nb_pad)
+    zf = jnp.pad(zf, ((0, 0), (0, nbp - cs.nb_pad)))
+    # zero the kernel-padding rows (nb..nbp) the broadcast just filled
+    mask = (jnp.arange(nbp) < nb)[None, :]
+    return jnp.where(mask, zf, jnp.zeros((), zf.dtype)).reshape(-1)
 
 
 def coarse_dia_offsets(offsets: tuple, agg: int) -> tuple:
@@ -144,10 +188,10 @@ def coarse_operator_dia(
     return ac
 
 
-def coarse_operator_inverse_dia(
+def coarse_dense_matrix(
     cs: CoarseSpace, offsets: tuple, data, *, shift: float = 0.0
 ):
-    """Dense inverse of A_c = R A P built from scalar-DIA data (jittable).
+    """Dense A_c = R A P built from scalar-DIA data (jittable).
 
     One (ndof,)-sized scatter per diagonal — the scalable path (no
     block-form arrays)."""
@@ -168,22 +212,35 @@ def coarse_operator_inverse_dia(
     ac = ac_flat.reshape(nc, nc)
     if shift:
         ac = ac + shift * jnp.eye(nc, dtype=ac.dtype)
-    if nc > 4096 and jax.default_backend() == "tpu":
-        # XLA's on-chip LU inverse pipeline materializes O(nc/128) blocked
-        # triangular-solve temps — ~18 GB of HLO temp at nc=10648 (measured
-        # compile OOM at 511k rows, agg=48), and still multi-GB at nc~8k,
-        # which collides with the multi-GB standing operators when the
-        # exact-Jacobian prep runs at the 2.35M-row scale.  When called
-        # EAGERLY invert once on the host in f64 instead (~30 s single-core
-        # at nc=8k, setup-time only).  Under jit there is no host escape on
-        # this backend (no pure_callback) — stokes_init avoids this by
-        # preparing eagerly (see model.stokes_init).
-        try:
-            ac_host = np.asarray(ac, dtype=np.float64)
-        except jax.errors.ConcretizationTypeError:
-            ac_host = None
-        if ac_host is not None:
-            return jnp.asarray(np.linalg.inv(ac_host), dtype=ac.dtype)
+    return ac
+
+
+def coarse_operator_inverse_dia(
+    cs: CoarseSpace, offsets: tuple, data, *, shift: float = 0.0
+):
+    """Dense inverse of A_c = R A P built from scalar-DIA data.
+
+    Whenever `data` is concrete (the prep runs eagerly — the default since
+    the eager-stokes restructure), the inverse is computed on the HOST in
+    f64, for two reasons:
+      * accuracy: the saddle-point coarse matrix is ill-conditioned and the
+        on-chip f32 LU inverse carries O(cond * eps_f32) error — measured on
+        v5e at m6 (nc=2448) as a preconditioner-quality lottery: separately
+        compiled preps produced inverses differing by ~0.26%, and GMRES
+        counts of 182 vs 69 iters/step for the SAME system (see
+        benchlogs/transient_scaling.txt round-3 coarse-inverse note);
+      * memory: XLA's on-chip LU inverse pipeline materializes O(nc/128)
+        blocked triangular-solve temps — ~18 GB of HLO temp at nc=10648
+        (measured compile OOM at 511k rows, agg=48).
+    Under jit there is no host escape on this backend (no pure_callback), so
+    traced calls fall back to the on-chip f32 inverse."""
+    ac = coarse_dense_matrix(cs, offsets, data, shift=shift)
+    try:
+        ac_host = np.asarray(ac, dtype=np.float64)
+    except jax.errors.ConcretizationTypeError:
+        ac_host = None
+    if ac_host is not None:
+        return jnp.asarray(np.linalg.inv(ac_host), dtype=ac.dtype)
     return jnp.linalg.inv(ac)
 
 

@@ -90,11 +90,18 @@ def gmres(
             # pass is two fused GEMVs over the whole basis instead of a
             # sequential chain of m dots/axpys — the TPU-friendly
             # orthogonalization (rows > k of V are zero, mask for safety).
+            # precision=HIGHEST: the MXU default rounds operands to bf16,
+            # silently orthogonalizing against a truncated basis and
+            # reconstructing dx from truncated V (measured to cost extra
+            # iterations AND Newton steps on v5e — solvers.coarse.restrict
+            # has the numbers).  These GEMVs are HBM-bandwidth-bound
+            # (~726 GB/s measured), so exact f32 passes cost nothing.
+            hp = jax.lax.Precision.HIGHEST
             active = (jnp.arange(m + 1) <= k).astype(dtype)
-            h1 = (V @ w) * active
-            w = w - V.T @ h1
-            h2 = (V @ w) * active
-            w = w - V.T @ h2
+            h1 = jnp.matmul(V, w, precision=hp) * active
+            w = w - jnp.matmul(V.T, h1, precision=hp)
+            h2 = jnp.matmul(V, w, precision=hp) * active
+            w = w - jnp.matmul(V.T, h2, precision=hp)
             h = h1 + h2
             hk1 = jnp.linalg.norm(w)
             # One dynamic-update-slice on the loop-carried buffer; written
@@ -168,7 +175,7 @@ def gmres(
         )
         gp = jnp.where(active, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(Rp, gp, lower=False)
-        dx = V[:m].T @ y
+        dx = jnp.matmul(V[:m].T, y, precision=jax.lax.Precision.HIGHEST)
         x_new = x + dx
 
         resnorm = jnp.abs(g[k_end])

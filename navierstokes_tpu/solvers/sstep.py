@@ -109,7 +109,10 @@ def ca_gmres(
         # 3. H = R S R_m^{-1}; S[i+1, i] = alphas[i].
         S = jnp.zeros((m + 1, m), dtype=dtype)
         S = S.at[jnp.arange(1, m + 1), jnp.arange(m)].set(alphas)
-        RS = R @ S                                             # (m+1, m)
+        # HIGHEST: MXU default bf16 operand rounding would truncate the
+        # Krylov recurrence / reconstruction (see solvers.gmres CGS2 note).
+        hp = jax.lax.Precision.HIGHEST
+        RS = jnp.matmul(R, S, precision=hp)                    # (m+1, m)
         Rm = R[:m, :m]
         H = jax.scipy.linalg.solve_triangular(
             Rm.T, RS.T, lower=True
@@ -118,11 +121,11 @@ def ca_gmres(
         # 4. Small least squares via QR of H.
         g = v0norm * R[:, 0]                                   # r0 = V e1
         Qh, Rh = jnp.linalg.qr(H, mode="complete")             # (m+1,m+1)
-        gh = Qh.T @ g
+        gh = jnp.matmul(Qh.T, g, precision=hp)
         y = jax.scipy.linalg.solve_triangular(Rh[:m], gh[:m], lower=False)
         resnorm = jnp.abs(gh[m])
 
-        x_new = x + Q[:, :m] @ y
+        x_new = x + jnp.matmul(Q[:, :m], y, precision=hp)
         return x_new, resnorm
 
     def cond(state):
