@@ -32,7 +32,6 @@ class GMRESResult(NamedTuple):
 def _identity(x):
     return x
 
-
 def gmres(
     matvec: Callable,
     b: jnp.ndarray,
@@ -96,6 +95,17 @@ def gmres(
             # iterations AND Newton steps on v5e — solvers.coarse.restrict
             # has the numbers).  These GEMVs are HBM-bandwidth-bound
             # (~726 GB/s measured), so exact f32 passes cost nothing.
+            #
+            # NOTE on active-row skipping (tried, LOST, reverted): CGS2's
+            # four GEMVs read the whole zero-padded (m+1, n) buffer every
+            # iteration even though only k+1 rows are live.  Skipping the
+            # dead rows via lax.cond was measured on v5e at 117k rows and
+            # lost BOTH ways: 8-row chunks (16 conds/iter) 17.4 ms/step,
+            # half-basis split (4 conds/iter) 14.8 ms/step, vs 11.8 ms for
+            # the plain full-buffer GEMVs — each cond is a fusion boundary
+            # whose fixed cost exceeds the ~35%/25% HBM-traffic saving at
+            # this size.  A Pallas GEMV with a scalar-prefetched row bound
+            # is the remaining option if CGS2 ever dominates again.
             hp = jax.lax.Precision.HIGHEST
             active = (jnp.arange(m + 1) <= k).astype(dtype)
             h1 = jnp.matmul(V, w, precision=hp) * active
