@@ -20,7 +20,7 @@ def _flagship_f32_cfg(n_steps: int, dt: float = 1e-3) -> NSConfig:
     """The run.py float32 defaults, verbatim (keep in sync with run.py)."""
     krylov = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
                           neumann_order=0, preconditioner="two_level",
-                          coarse_agg=48)
+                          coarse_agg=48, spmv="plane")
     return NSConfig(
         dt=dt, t_final=n_steps * dt, reynolds=300.0, delta=0.05,
         dtype="float32",
