@@ -54,6 +54,15 @@ class SolverConfig:
                                 # (measured: smooth>=2 at 511k rows maxes
                                 # Newton out); <=0.5 is the stable choice
                                 # when smoothing is enabled
+    coarse_smooth_omega: float = 0.0  # smoothed-aggregation prolongator
+                                # P = (I - omega*D^{-1}A) P0 (0 = plain
+                                # piecewise-constant aggregation).  Richer
+                                # coarse space at fixed nc: +1 SpMV + 1
+                                # D^{-1} per coarse apply; the Galerkin
+                                # matrix is corrected on host at prep time
+                                # (solvers.coarse.smoothed_coarse_dense_
+                                # matrix).  Dense coarse + exact-Jacobian
+                                # (eager prep) only.
     coarse_dense_max: int = 4096  # max coarse DoF for the dense inverse;
                                 # beyond it the coarse level is kept sparse
                                 # (DIA) and corrected by a SECOND, smaller

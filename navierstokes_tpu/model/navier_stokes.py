@@ -295,11 +295,32 @@ class NavierStokesSolver:
                 self._coarse_space = build_aggregates(d.mesh.nv, cfgk.coarse_agg)
             cs = self._coarse_space
             if cs.nc <= cfgk.coarse_dense_max:
-                ac_inv = coarse_operator_inverse_dia(
-                    cs, offsets, dia_data, shift=cfgk.coarse_shift
-                )
+                if cfgk.coarse_smooth_omega:
+                    # Smoothed-aggregation basis: host Petrov-Galerkin
+                    # product (see solvers.coarse); the matching smoothed
+                    # prolongation happens on the fly in _prep_operators.
+                    from navierstokes_tpu.solvers.coarse import (
+                        smoothed_coarse_inverse_dia,
+                    )
+
+                    ac_inv = smoothed_coarse_inverse_dia(
+                        cs, offsets, dia_data, inv_diag,
+                        omega=cfgk.coarse_smooth_omega,
+                        shift=cfgk.coarse_shift,
+                    )
+                else:
+                    ac_inv = coarse_operator_inverse_dia(
+                        cs, offsets, dia_data, shift=cfgk.coarse_shift
+                    )
                 c_arrays = (ac_inv,)
                 c_static = ("dense", cs)
+            elif cfgk.coarse_smooth_omega:
+                raise ValueError(
+                    "coarse_smooth_omega is supported on the dense coarse "
+                    f"path only (nc={cs.nc} > coarse_dense_max="
+                    f"{cfgk.coarse_dense_max}); raise coarse_dense_max or "
+                    "coarse_agg"
+                )
             else:
                 # Scalable multilevel path: the coarse operator stays sparse
                 # (DIA) with block-Jacobi smoothing, and only a SECOND,
@@ -539,6 +560,8 @@ class NavierStokesSolver:
                                   precision=jax.lax.Precision.HIGHEST,
                                   ).reshape(-1)
 
+            om = self.cfg.krylov.coarse_smooth_omega
+
             def coarse(r):
                 # Restriction/prolongation natively on planes (reshape-sum /
                 # broadcast); the plane<->interleaved conversion happens on
@@ -547,7 +570,13 @@ class NavierStokesSolver:
                 # earlier version converted the FINE vector per apply: +52
                 # us/iteration at 117k rows.)
                 zc = coarse_solve(restrict_planes(cs, r, nbp))
-                return prolong_planes(cs, zc, nbp, nb)
+                z = prolong_planes(cs, zc, nbp, nb)
+                if om:
+                    # smoothed-aggregation prolongator, applied on the fly:
+                    # P zc = (I - om D^{-1} A) P0 zc (matches the Galerkin
+                    # matrix built by smoothed_coarse_dense_matrix)
+                    z = z - om * apply_Dinv(apply_A(z))
+                return z
 
             def minv(r):
                 z = coarse(r)
@@ -578,10 +607,18 @@ class NavierStokesSolver:
                 return self._spmv_small(invd_offsets, invd_data, r)
 
             coarse_solve = self._make_coarse_solve(c_arrays, c_static)
+            om = self.cfg.krylov.coarse_smooth_omega
+
+            def coarse(r):
+                z = prolong(cs, coarse_solve(restrict(cs, r)))
+                if om:
+                    # smoothed-aggregation prolongator (see the tlp path)
+                    z = z - om * apply_Dinv(apply_A(z))
+                return z
 
             def minv(r):
                 # multiplicative two-grid: coarse correction + Jacobi smooth
-                z = prolong(cs, coarse_solve(restrict(cs, r)))
+                z = coarse(r)
                 return z + apply_Dinv(r - apply_A(z))
 
             def matvec(x):
@@ -590,7 +627,7 @@ class NavierStokesSolver:
             parts = {
                 "apply_A": apply_A,
                 "apply_Dinv": apply_Dinv,
-                "coarse": lambda r: prolong(cs, coarse_solve(restrict(cs, r))),
+                "coarse": coarse,
                 "minv": minv,
             }
             return matvec, minv, parts

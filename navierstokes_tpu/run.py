@@ -65,6 +65,9 @@ def main(argv=None):
     p.add_argument("--coarse-ml-damp", type=float, default=None,
                    help="damping for the level-1 Jacobi sweeps (undamped "
                         "diverges on the saddle-point coarse system)")
+    p.add_argument("--coarse-smooth-omega", type=float, default=None,
+                   help="smoothed-aggregation prolongator damping "
+                        "(0 = plain aggregation; dense coarse only)")
     p.add_argument("--neumann-order", type=int, default=None,
                    help="Neumann-series boost of block-Jacobi")
     p.add_argument("--ca-gmres", action="store_true",
@@ -137,6 +140,7 @@ def main(argv=None):
         ("coarse_ml_smooth", args.coarse_ml_smooth),
         ("coarse_ml_cycles", args.coarse_ml_cycles),
         ("coarse_ml_damp", args.coarse_ml_damp),
+        ("coarse_smooth_omega", args.coarse_smooth_omega),
         ("neumann_order", args.neumann_order),
         ("restart", args.restart),
     ):

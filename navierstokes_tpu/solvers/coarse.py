@@ -244,6 +244,129 @@ def coarse_operator_inverse_dia(
     return jnp.linalg.inv(ac)
 
 
+def _agg_diag_add(ac_flat, v, node_off, a, c, n_agg, agg, nc):
+    """Accumulate row-wise contributions into the dense coarse matrix.
+
+    `v[i]` (i a node index, length n_agg*agg, padding rows zero) contributes
+    to A_c[4*(i//agg) + a, 4*((i+node_off)//agg) + c].  For fixed node_off,
+    (i+node_off)//agg = i//agg + q with q taking exactly two values split by
+    the phase p = i%agg (p < t -> q0, p >= t -> q0+1), so each (q, a, c)
+    lands on one dense diagonal of stride 4*nc+4 — two vectorized strided
+    adds replace a scatter."""
+    q0, dm = divmod(int(node_off), agg)
+    t = agg - dm
+    V = v.reshape(n_agg, agg)
+    ic = np.arange(n_agg)
+    for q, s in ((q0, V[:, :t].sum(1, dtype=np.float64)),
+                 (q0 + 1, V[:, t:].sum(1, dtype=np.float64) if dm else None)):
+        if s is None:
+            continue
+        sel = (ic + q >= 0) & (ic + q < n_agg)
+        idx = (4 * ic[sel] + a) * nc + 4 * (ic[sel] + q) + c
+        ac_flat[idx] += s[sel]
+
+
+def smoothed_coarse_dense_matrix(
+    cs: CoarseSpace, offsets: tuple, dia_data, inv_diag,
+    *, omega: float, shift: float = 0.0,
+):
+    """Dense Petrov-Galerkin coarse matrix for the SMOOTHED-AGGREGATION
+    prolongator (host-side, f64 accumulation):
+
+        P = (I - omega D^{-1} A) P0,   R = P0^T
+        A_c = P0^T A P0 - omega * P0^T (A D^{-1} A) P0
+
+    Piecewise-constant aggregation thins with mesh size (253 vs 69 outer
+    iterations/step at 2.35M vs 117k rows at fixed aggregate geometry);
+    Jacobi-smoothing the basis is the classic SA cure, and on this layout it
+    is TPU-free: P is never materialized — the apply side adds one SpMV +
+    one D^{-1} per coarse correction (model._prep_operators), and this
+    Galerkin product reduces to node-offset-pair block products plus
+    strided diagonal adds (contiguous aggregates make every coarse row
+    index an arithmetic progression in the aggregate id).
+
+    Structure exploited: the FEM pattern is dense 4x4 node blocks on N_D
+    node offsets (see ops.plane_dia), so A D^{-1} A regroups as
+    (N_D)^2 batched 4x4 block products — ~65 ms at 117k rows, ~seconds at
+    2.35M, once per operator preparation.
+    """
+    from navierstokes_tpu.ops.plane_dia import node_offsets_from_scalar
+
+    dd = np.asarray(dia_data)
+    di = np.asarray(inv_diag)
+    nb, agg, n_agg, nc = cs.nb, cs.agg_size, cs.n_agg, cs.nc
+    nb_pad = cs.nb_pad
+    node_offsets = node_offsets_from_scalar(offsets)
+    kidx = {k: i for i, k in enumerate(offsets)}
+
+    # (N_D, nb, 4, 4) block view of the scalar-DIA band: A_blk[iD, i, a, b]
+    # = A[4i+a, 4(i+D)+b] (absent scalar diagonals are zero planes).
+    n_d = len(node_offsets)
+    A_blk = np.zeros((n_d, nb, 4, 4), dtype=dd.dtype)
+    for iD, D in enumerate(node_offsets):
+        for a in range(4):
+            for b in range(4):
+                k = 4 * D + (b - a)
+                if k in kidx:
+                    A_blk[iD, :, a, b] = dd[kidx[k], a::4]
+        # out-of-range diagonal slots are not guaranteed zero in DIA
+        # storage (the SpMV masks them via x padding) — mask explicitly,
+        # as coarse_dense_matrix does
+        if D < 0:
+            A_blk[iD, :-D] = 0.0
+        elif D > 0:
+            A_blk[iD, nb - D:] = 0.0
+    C_blk = np.matmul(di[None, :, :, :], A_blk)        # D^{-1} A, per offset
+
+    ac = np.zeros(nc * nc, dtype=np.float64)
+    vbuf = np.zeros(nb_pad, dtype=np.float64)
+    for iD, D in enumerate(node_offsets):              # P0^T A P0
+        for a in range(4):
+            for c in range(4):
+                vbuf[:nb] = A_blk[iD, :, a, c]
+                _agg_diag_add(ac, vbuf, D, a, c, n_agg, agg, nc)
+    ac1 = np.zeros(nc * nc, dtype=np.float64)
+    for iD1, D1 in enumerate(node_offsets):            # P0^T (A D^{-1} A) P0
+        lo, hi = max(0, -D1), nb - max(0, D1)
+        if hi <= lo:
+            continue
+        A1 = A_blk[iD1, lo:hi]
+        for iD2, D2 in enumerate(node_offsets):
+            M = np.matmul(A1, C_blk[iD2, lo + D1:hi + D1])
+            for a in range(4):
+                for c in range(4):
+                    vbuf[:] = 0.0
+                    vbuf[lo:hi] = M[:, a, c]
+                    _agg_diag_add(ac1, vbuf, D1 + D2, a, c, n_agg, agg, nc)
+    out = (ac - omega * ac1).reshape(nc, nc)
+    if shift:
+        out[np.diag_indices(nc)] += shift
+    return out
+
+
+def smoothed_coarse_inverse_dia(
+    cs: CoarseSpace, offsets: tuple, dia_data, inv_diag,
+    *, omega: float, shift: float = 0.0,
+):
+    """Host f64 dense inverse of the smoothed-aggregation coarse matrix.
+
+    Host-only by design (same accuracy/memory rationale as
+    `coarse_operator_inverse_dia`); requires concrete operator data, i.e.
+    eager preparation (the default exact-Jacobian flow)."""
+    try:
+        ac = smoothed_coarse_dense_matrix(
+            cs, offsets, dia_data, inv_diag, omega=omega, shift=shift
+        )
+    except jax.errors.ConcretizationTypeError as e:
+        raise ValueError(
+            "coarse_smooth_omega requires eager operator preparation "
+            "(jacobian='exact'); the traced (reference-jacobian) path "
+            "cannot build the smoothed Galerkin product on host"
+        ) from e
+    dt = dia_data.dtype if hasattr(dia_data, "dtype") else np.float64
+    return jnp.asarray(np.linalg.inv(ac), dtype=dt)
+
+
 def coarse_operator_inverse(
     cs: CoarseSpace, bcsr_values, row_ids, col_indices, *, shift: float = 0.0
 ):
