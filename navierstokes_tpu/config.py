@@ -56,10 +56,16 @@ class SolverConfig:
                                 # when smoothing is enabled
     coarse_smooth_omega: float = 0.0  # smoothed-aggregation prolongator
                                 # P = (I - omega*D^{-1}A) P0 (0 = plain
-                                # piecewise-constant aggregation).  Richer
-                                # coarse space at fixed nc: +1 SpMV + 1
-                                # D^{-1} per coarse apply; the Galerkin
-                                # matrix is corrected on host at prep time
+                                # piecewise-constant aggregation): +1 SpMV
+                                # + 1 D^{-1} per coarse apply; Galerkin
+                                # matrix corrected on host at prep time.
+                                # MEASURED NEGATIVE RESULT on this
+                                # indefinite saddle-point operator: ~3x
+                                # more iterations in f64 at matrix 3 and
+                                # outright stagnation at 117k+ for every
+                                # omega tried (0.5/0.6667/1.0 — classic SA
+                                # assumes SPD; see benchlogs/
+                                # transient_scaling.txt).  Keep 0.0.
                                 # (solvers.coarse.smoothed_coarse_dense_
                                 # matrix).  Dense coarse + exact-Jacobian
                                 # (eager prep) only.

@@ -285,6 +285,19 @@ def smoothed_coarse_dense_matrix(
     strided diagonal adds (contiguous aggregates make every coarse row
     index an arithmetic progression in the aggregate id).
 
+    MEASURED NEGATIVE RESULT (round 3, benchlogs/transient_scaling.txt):
+    on the indefinite NS saddle-point operator the smoothed basis makes the
+    two-level preconditioner ~3x WORSE in f64 at matrix 3 and non-convergent
+    at 117k rows for every omega in {0.5, 0.6667, 1.0} — classic SA theory
+    assumes an (essentially) SPD operator, where I - omega D^{-1} A damps a
+    positive-real spectrum; here D^{-1} A has eigenvalues across both
+    half-planes, so every fixed omega amplifies some modes (the same
+    mechanism as the measured divergence of undamped level-1 Jacobi sweeps
+    and odd-order Neumann).  The implementation is kept (algebra
+    oracle-tested to 1e-10 in tests/test_coarse_sa.py) with default
+    omega = 0.0; the productive scale lever is the dense level-1 coarse
+    with tuned aggregate size.
+
     Structure exploited: the FEM pattern is dense 4x4 node blocks on N_D
     node offsets (see ops.plane_dia), so A D^{-1} A regroups as
     (N_D)^2 batched 4x4 block products — ~65 ms at 117k rows, ~seconds at
