@@ -148,6 +148,8 @@ def main(argv=None):
     p.add_argument("--coarse-ml-damp", type=float, default=None)
     p.add_argument("--coarse-dense-max", type=int, default=None)
     p.add_argument("--coarse-smooth-omega", type=float, default=None)
+    p.add_argument("--coarse-basis", default=None,
+                   choices=["const", "linear"])
     p.add_argument("--restart", type=int, default=None)
     p.add_argument("--spmv", default=None,
                    choices=["auto", "xla", "pallas", "plane"])
@@ -179,6 +181,7 @@ def main(argv=None):
             ("coarse_ml_damp", args.coarse_ml_damp),
             ("coarse_dense_max", args.coarse_dense_max),
             ("coarse_smooth_omega", args.coarse_smooth_omega),
+        ("coarse_basis", args.coarse_basis),
             ("restart", args.restart),
             ("spmv", args.spmv),
             ("neumann_order", args.neumann_order),

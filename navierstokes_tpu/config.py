@@ -54,6 +54,15 @@ class SolverConfig:
                                 # (measured: smooth>=2 at 511k rows maxes
                                 # Newton out); <=0.5 is the stable choice
                                 # when smoothing is enabled
+    coarse_basis: str = "const"  # coarse-space basis per aggregate:
+                                # "const" = piecewise-constant per
+                                # component (4 dofs/aggregate); "linear" =
+                                # orthonormalized {1, x, y, z} per
+                                # component (16 dofs/aggregate) — same
+                                # dense nc with 4x-larger aggregates and a
+                                # richer space (O(h^2) vs O(h) smooth-error
+                                # approximation).  linear requires
+                                # spmv='plane' + dense coarse + eager prep.
     coarse_smooth_omega: float = 0.0  # smoothed-aggregation prolongator
                                 # P = (I - omega*D^{-1}A) P0 (0 = plain
                                 # piecewise-constant aggregation): +1 SpMV

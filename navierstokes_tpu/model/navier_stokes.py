@@ -294,7 +294,41 @@ class NavierStokesSolver:
             if not hasattr(self, "_coarse_space"):
                 self._coarse_space = build_aggregates(d.mesh.nv, cfgk.coarse_agg)
             cs = self._coarse_space
-            if cs.nc <= cfgk.coarse_dense_max:
+            if cfgk.coarse_basis == "linear":
+                # Per-aggregate {1, x, y, z} basis (16 dofs/aggregate):
+                # richer coarse space at the same dense nc via 4x-larger
+                # aggregates — see solvers.coarse.build_linear_weights.
+                if not self._plane_mode():
+                    raise ValueError(
+                        "coarse_basis='linear' requires spmv='plane' (the "
+                        "single-chip component-plane path)"
+                    )
+                if cfgk.coarse_smooth_omega:
+                    raise ValueError(
+                        "coarse_basis='linear' and coarse_smooth_omega are "
+                        "mutually exclusive"
+                    )
+                if 16 * cs.n_agg > cfgk.coarse_dense_max:
+                    raise ValueError(
+                        "coarse_basis='linear' is supported on the dense "
+                        f"coarse path only (nc={16 * cs.n_agg} > "
+                        f"coarse_dense_max={cfgk.coarse_dense_max}); raise "
+                        "coarse_agg or coarse_dense_max"
+                    )
+                from navierstokes_tpu.solvers.coarse import (
+                    build_linear_weights,
+                    linear_coarse_inverse_dia,
+                )
+
+                w_host = build_linear_weights(
+                    cs, np.asarray(d.mesh.coords))
+                ac_inv = linear_coarse_inverse_dia(
+                    cs, offsets, dia_data, w_host,
+                    shift=cfgk.coarse_shift,
+                )
+                c_arrays = (ac_inv, jnp.asarray(w_host, dtype=self.dtype))
+                c_static = ("dense_lin", cs)
+            elif cs.nc <= cfgk.coarse_dense_max:
                 if cfgk.coarse_smooth_omega:
                     # Smoothed-aggregation basis: host Petrov-Galerkin
                     # product (see solvers.coarse); the matching smoothed
@@ -493,7 +527,7 @@ class NavierStokesSolver:
         Multilevel: the sparse level-1 coarse system is itself solved by one
         two-grid cycle (dense level-2 correction + damped level-1
         block-Jacobi smoothing) — same structure, one level down."""
-        if c_static[0] == "dense":
+        if c_static[0] in ("dense", "dense_lin"):
             def coarse_solve(rc):
                 # HIGHEST: the MXU default would round A_c^{-1} AND rc to
                 # bf16 (see solvers.coarse.restrict for the measured cost).
@@ -541,7 +575,9 @@ class NavierStokesSolver:
             from navierstokes_tpu.ops.plane_dia import spmv_plane_pallas
             from navierstokes_tpu.solvers.coarse import (
                 prolong_planes,
+                prolong_planes_linear,
                 restrict_planes,
+                restrict_planes_linear,
             )
 
             _, noffs, p4, d16, c_arrays, c_static, nb, nbp = prep
@@ -561,6 +597,7 @@ class NavierStokesSolver:
                                   ).reshape(-1)
 
             om = self.cfg.krylov.coarse_smooth_omega
+            lin_w = c_arrays[1] if c_static[0] == "dense_lin" else None
 
             def coarse(r):
                 # Restriction/prolongation natively on planes (reshape-sum /
@@ -569,6 +606,12 @@ class NavierStokesSolver:
                 # dense/multilevel coarse_solve is reused unchanged.  (An
                 # earlier version converted the FINE vector per apply: +52
                 # us/iteration at 117k rows.)
+                if lin_w is not None:
+                    # per-aggregate linear basis: weighted batched
+                    # reshape-sums (solvers.coarse.restrict_planes_linear)
+                    zc = coarse_solve(
+                        restrict_planes_linear(cs, r, nbp, lin_w))
+                    return prolong_planes_linear(cs, zc, nbp, nb, lin_w)
                 zc = coarse_solve(restrict_planes(cs, r, nbp))
                 z = prolong_planes(cs, zc, nbp, nb)
                 if om:

@@ -68,6 +68,10 @@ def main(argv=None):
     p.add_argument("--coarse-smooth-omega", type=float, default=None,
                    help="smoothed-aggregation prolongator damping "
                         "(0 = plain aggregation; dense coarse only)")
+    p.add_argument("--coarse-basis", default=None,
+                   choices=["const", "linear"],
+                   help="coarse basis per aggregate: piecewise-constant "
+                        "or orthonormalized {1,x,y,z} (plane mode only)")
     p.add_argument("--neumann-order", type=int, default=None,
                    help="Neumann-series boost of block-Jacobi")
     p.add_argument("--ca-gmres", action="store_true",
@@ -141,6 +145,7 @@ def main(argv=None):
         ("coarse_ml_cycles", args.coarse_ml_cycles),
         ("coarse_ml_damp", args.coarse_ml_damp),
         ("coarse_smooth_omega", args.coarse_smooth_omega),
+        ("coarse_basis", args.coarse_basis),
         ("neumann_order", args.neumann_order),
         ("restart", args.restart),
     ):

@@ -237,22 +237,28 @@ def coarse_operator_inverse_dia(
     ac = coarse_dense_matrix(cs, offsets, data, shift=shift)
     try:
         ac_host = np.asarray(ac, dtype=np.float64)
-    except jax.errors.ConcretizationTypeError:
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        # NB: TracerArrayConversionError is NOT a subclass of
+        # ConcretizationTypeError; np.asarray on a tracer raises the
+        # former (verified on this jax version)
         ac_host = None
     if ac_host is not None:
         return jnp.asarray(np.linalg.inv(ac_host), dtype=ac.dtype)
     return jnp.linalg.inv(ac)
 
 
-def _agg_diag_add(ac_flat, v, node_off, a, c, n_agg, agg, nc):
+def _agg_diag_add(ac_flat, v, node_off, a, c, n_agg, agg, nc, dof=4):
     """Accumulate row-wise contributions into the dense coarse matrix.
 
     `v[i]` (i a node index, length n_agg*agg, padding rows zero) contributes
-    to A_c[4*(i//agg) + a, 4*((i+node_off)//agg) + c].  For fixed node_off,
-    (i+node_off)//agg = i//agg + q with q taking exactly two values split by
-    the phase p = i%agg (p < t -> q0, p >= t -> q0+1), so each (q, a, c)
-    lands on one dense diagonal of stride 4*nc+4 — two vectorized strided
-    adds replace a scatter."""
+    to A_c[dof*(i//agg) + a, dof*((i+node_off)//agg) + c] with a, c
+    within-aggregate coarse-dof indices (dof = 4 for the piecewise-constant
+    basis, 16 for the linear basis: 4 modes x 4 components).  For fixed
+    node_off, (i+node_off)//agg = i//agg + q with q taking exactly two
+    values split by the phase p = i%agg (p < t -> q0, p >= t -> q0+1), so
+    each (q, a, c) lands on one dense diagonal of stride dof*(nc+1) — two
+    vectorized strided adds replace a scatter."""
     q0, dm = divmod(int(node_off), agg)
     t = agg - dm
     V = v.reshape(n_agg, agg)
@@ -262,8 +268,168 @@ def _agg_diag_add(ac_flat, v, node_off, a, c, n_agg, agg, nc):
         if s is None:
             continue
         sel = (ic + q >= 0) & (ic + q < n_agg)
-        idx = (4 * ic[sel] + a) * nc + 4 * (ic[sel] + q) + c
+        idx = (dof * ic[sel] + a) * nc + dof * (ic[sel] + q) + c
         ac_flat[idx] += s[sel]
+
+
+def _node_block_view(offsets: tuple, dd: np.ndarray, nb: int,
+                     node_offsets: tuple) -> np.ndarray:
+    """(N_D, nb, 4, 4) block view of the scalar-DIA band:
+    A_blk[iD, i, a, b] = A[4i+a, 4(i+D)+b] (absent scalar diagonals are
+    zero planes; out-of-range rows masked — DIA storage does not guarantee
+    zeros there, the SpMV masks via x padding)."""
+    kidx = {k: i for i, k in enumerate(offsets)}
+    n_d = len(node_offsets)
+    A_blk = np.zeros((n_d, nb, 4, 4), dtype=dd.dtype)
+    for iD, D in enumerate(node_offsets):
+        for a in range(4):
+            for b in range(4):
+                k = 4 * D + (b - a)
+                if k in kidx:
+                    A_blk[iD, :, a, b] = dd[kidx[k], a::4]
+        if D < 0:
+            A_blk[iD, :-D] = 0.0
+        elif D > 0:
+            A_blk[iD, nb - D:] = 0.0
+    return A_blk
+
+
+def build_linear_weights(cs: CoarseSpace, coords: np.ndarray) -> np.ndarray:
+    """(4, nb_pad) per-aggregate orthonormal LINEAR basis weight planes.
+
+    Mode m's weight on node i is Q[i//agg][i%agg, m], where Q is the
+    per-aggregate QR-orthonormalization of [1, x - x_bar, y - y_bar,
+    z - z_bar] over the aggregate's nodes (coords in OPERATOR row order —
+    the mesh is band-reordered before discretization).  Spanning linear
+    functions per aggregate approximates smooth error to O(h_agg^2) instead
+    of the piecewise-constant basis's O(h_agg), attacking the measured
+    coarse-space thinning at scale (69 -> 117 -> 253 lin iters/step over
+    117k/511k/2.35M rows at fixed nc, benchlogs/transient_scaling.txt):
+    with 4 modes per aggregate, 4x-larger aggregates give the SAME dense
+    nc with a richer space.  Padding rows (>= nb) and rank-deficient modes
+    (degenerate aggregate geometry) carry zero weight; the Galerkin
+    builder pins their coarse diagonal so the dense inverse exists and the
+    inert dofs contribute exactly zero correction."""
+    nb, agg, n_agg, nb_pad = cs.nb, cs.agg_size, cs.n_agg, cs.nb_pad
+    M = np.zeros((nb_pad, 4))
+    M[:nb, 0] = 1.0
+    M[:nb, 1:] = np.asarray(coords, dtype=np.float64)[:nb]
+    M = M.reshape(n_agg, agg, 4)
+    cnt = np.maximum(M[:, :, 0].sum(1), 1.0)
+    for d in range(1, 4):
+        mean = M[:, :, d].sum(1) / cnt
+        M[:, :, d] -= mean[:, None]
+        M[:, :, d] *= M[:, :, 0]           # re-zero padding rows
+    Q, R = np.linalg.qr(M)          # batched reduced: k = min(agg, 4) cols
+    rd = np.abs(np.diagonal(R, axis1=1, axis2=2))  # (n_agg, k)
+    bad = rd < 1e-10 * np.maximum(rd.max(1, keepdims=True), 1e-300)
+    Q = np.where(bad[:, None, :], 0.0, Q)
+    if Q.shape[2] < 4:              # agg < 4 nodes cannot span 4 modes:
+        Q = np.concatenate(         # missing modes are inert (zero weight)
+            [Q, np.zeros((n_agg, agg, 4 - Q.shape[2]))], axis=2)
+    return np.ascontiguousarray(Q.transpose(2, 0, 1).reshape(4, nb_pad))
+
+
+def linear_coarse_dense_matrix(
+    cs: CoarseSpace, offsets: tuple, dia_data, w: np.ndarray,
+    *, shift: float = 0.0,
+) -> np.ndarray:
+    """Dense Galerkin coarse matrix A_c = P^T A P for the per-aggregate
+    LINEAR basis (host-side, f64 accumulation).
+
+    P[4i+a, 16 g + 4 m + a] = w[m, i] for g = i//agg (zero otherwise):
+    coarse dofs are aggregate-major, then mode-major, then component.  The
+    product regroups over node offsets exactly like the smoothed-aggregation
+    builder: for each node offset D and mode pair (m, m'), the weighted
+    block plane w[m, i] * A_blk[D, i, a, b] * w[m', i+D] accumulates onto
+    coarse diagonals via `_agg_diag_add` with dof=16.  Cost: N_D * 16 * 16
+    vectorized strided adds over (nb,) — ~seconds at 2.35M rows, once per
+    operator preparation."""
+    from navierstokes_tpu.ops.plane_dia import node_offsets_from_scalar
+
+    dd = np.asarray(dia_data)
+    nb, agg, n_agg = cs.nb, cs.agg_size, cs.n_agg
+    nc = 16 * n_agg
+    node_offsets = node_offsets_from_scalar(offsets)
+    A_blk = _node_block_view(offsets, dd, nb, node_offsets)
+    wf = np.asarray(w, dtype=np.float64)
+
+    ac = np.zeros(nc * nc, dtype=np.float64)
+    vbuf = np.zeros(cs.nb_pad, dtype=np.float64)
+    for iD, D in enumerate(node_offsets):
+        lo, hi = max(0, -D), nb - max(0, D)
+        if hi <= lo:
+            continue
+        blk = A_blk[iD, lo:hi].astype(np.float64)
+        for m in range(4):
+            for mp in range(4):
+                M2 = blk * (wf[m, lo:hi, None, None]
+                            * wf[mp, lo + D:hi + D, None, None])
+                for a in range(4):
+                    for b in range(4):
+                        vbuf[:] = 0.0
+                        vbuf[lo:hi] = M2[:, a, b]
+                        _agg_diag_add(ac, vbuf, D, 4 * m + a, 4 * mp + b,
+                                      n_agg, agg, nc, dof=16)
+    out = ac.reshape(nc, nc)
+    # inert coarse dofs (zeroed weight columns / padding-only aggregates):
+    # pin the diagonal so the inverse exists; their restricted residual is
+    # identically zero, so they contribute no correction.
+    dg = np.abs(np.diagonal(out))
+    inert = dg <= 1e-300
+    out[np.diag_indices(nc)] += np.where(inert, 1.0, 0.0)
+    if shift:
+        out[np.diag_indices(nc)] += shift
+    return out
+
+
+def linear_coarse_inverse_dia(
+    cs: CoarseSpace, offsets: tuple, dia_data, w: np.ndarray,
+    *, shift: float = 0.0,
+):
+    """Host f64 dense inverse of the linear-basis coarse matrix (same
+    accuracy/memory rationale as `coarse_operator_inverse_dia`; requires
+    eager operator preparation)."""
+    try:
+        ac = linear_coarse_dense_matrix(cs, offsets, dia_data, w,
+                                        shift=shift)
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError) as e:
+        raise ValueError(
+            "coarse_basis='linear' requires eager operator preparation "
+            "(the default exact-Jacobian flow): the Galerkin product and "
+            "its inverse are built on the host in f64"
+        ) from e
+    dt = dia_data.dtype if hasattr(dia_data, "dtype") else jnp.float32
+    return jnp.asarray(np.linalg.inv(ac), dtype=dt)
+
+
+def restrict_planes_linear(cs: CoarseSpace, rp, nbp: int, w):
+    """P^T r on a plane-major padded fine vector -> (16*n_agg,) coarse.
+
+    Coarse ordering: aggregate-major, mode, component (matches
+    `linear_coarse_dense_matrix`).  One small batched einsum — the minor
+    output dims are coarse-sized.  precision=HIGHEST for the same measured
+    reason as `restrict`."""
+    assert cs.nb_pad <= nbp, (cs.nb_pad, nbp)
+    r3 = rp.reshape(4, nbp)[:, :cs.nb_pad].reshape(
+        4, cs.n_agg, cs.agg_size)
+    w3 = w.reshape(4, cs.n_agg, cs.agg_size)
+    rc = jnp.einsum("cgp,mgp->gmc", r3, w3,
+                    precision=jax.lax.Precision.HIGHEST)
+    return rc.reshape(-1)
+
+
+def prolong_planes_linear(cs: CoarseSpace, zc, nbp: int, nb: int, w):
+    """P zc: (16*n_agg,) coarse -> plane-major padded fine vector."""
+    z3 = zc.reshape(cs.n_agg, 4, 4)
+    w3 = w.reshape(4, cs.n_agg, cs.agg_size)
+    zf = jnp.einsum("gmc,mgp->cgp", z3, w3,
+                    precision=jax.lax.Precision.HIGHEST,
+                    ).reshape(4, cs.nb_pad)
+    zf = jnp.pad(zf, ((0, 0), (0, nbp - cs.nb_pad)))
+    mask = (jnp.arange(nbp) < nb)[None, :]
+    return jnp.where(mask, zf, jnp.zeros((), zf.dtype)).reshape(-1)
 
 
 def smoothed_coarse_dense_matrix(
@@ -310,25 +476,8 @@ def smoothed_coarse_dense_matrix(
     nb, agg, n_agg, nc = cs.nb, cs.agg_size, cs.n_agg, cs.nc
     nb_pad = cs.nb_pad
     node_offsets = node_offsets_from_scalar(offsets)
-    kidx = {k: i for i, k in enumerate(offsets)}
 
-    # (N_D, nb, 4, 4) block view of the scalar-DIA band: A_blk[iD, i, a, b]
-    # = A[4i+a, 4(i+D)+b] (absent scalar diagonals are zero planes).
-    n_d = len(node_offsets)
-    A_blk = np.zeros((n_d, nb, 4, 4), dtype=dd.dtype)
-    for iD, D in enumerate(node_offsets):
-        for a in range(4):
-            for b in range(4):
-                k = 4 * D + (b - a)
-                if k in kidx:
-                    A_blk[iD, :, a, b] = dd[kidx[k], a::4]
-        # out-of-range diagonal slots are not guaranteed zero in DIA
-        # storage (the SpMV masks them via x padding) — mask explicitly,
-        # as coarse_dense_matrix does
-        if D < 0:
-            A_blk[iD, :-D] = 0.0
-        elif D > 0:
-            A_blk[iD, nb - D:] = 0.0
+    A_blk = _node_block_view(offsets, dd, nb, node_offsets)
     C_blk = np.matmul(di[None, :, :, :], A_blk)        # D^{-1} A, per offset
 
     ac = np.zeros(nc * nc, dtype=np.float64)
@@ -370,7 +519,8 @@ def smoothed_coarse_inverse_dia(
         ac = smoothed_coarse_dense_matrix(
             cs, offsets, dia_data, inv_diag, omega=omega, shift=shift
         )
-    except jax.errors.ConcretizationTypeError as e:
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError) as e:
         raise ValueError(
             "coarse_smooth_omega requires eager operator preparation "
             "(jacobian='exact'); the traced (reference-jacobian) path "
