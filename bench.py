@@ -104,6 +104,38 @@ def main():
         log(f"spmv Pallas pretiled t={tile}: {t_p * 1e6:8.1f} us -> "
             f"{2.0 * nnz / t_p / 1e9:7.1f} GFLOP/s")
         t_best = min(t_best, t_p)
+        del d3
+
+    # Component-plane layout (the solver flagship's operator): 0.74x the
+    # scalar-DIA bytes (benchlogs/layout_census.txt), timed in its native
+    # layout exactly as the solver runs it (spmv='plane' keeps the whole
+    # Krylov space plane-major; conversions happen only at step boundaries).
+    from navierstokes_tpu.ops.plane_dia import (
+        extract_planes,
+        node_offsets_from_scalar,
+        pretile_planes,
+        spmv_plane_pallas,
+        to_planes,
+    )
+
+    noffs = node_offsets_from_scalar(offsets)
+    nb = disc.ndof // 4
+    for tile in (8192,):
+        p4 = pretile_planes(
+            extract_planes(offsets, dia_data, nb, node_offsets=noffs),
+            nb, tile=tile,
+        )
+        p4.block_until_ready()
+        nbp = p4.shape[0] * tile    # (grid, 4, NT, tile) layout
+        xp = to_planes(x, nb, nbp)
+        t_pl = fit_time(
+            lambda v, d4: spmv_plane_pallas(noffs, d4, v, nb=nb), xp,
+            operands=(p4,),
+        )
+        log(f"spmv plane-major t={tile} (N_D={len(noffs)}): "
+            f"{t_pl * 1e6:8.1f} us -> {2.0 * nnz / t_pl / 1e9:7.1f} GFLOP/s")
+        t_best = min(t_best, t_pl)
+        del p4, xp
     gflops = 2.0 * nnz / t_best / 1e9
 
     # Secondary: block-ELL gather path (for the record)

@@ -56,6 +56,20 @@ def test_run_cli_perf_knobs(tmp_path):
 
 
 @pytest.mark.slow
+def test_run_cli_coarse_basis_linear(tmp_path):
+    """--coarse-basis linear drives the per-aggregate linear coarse space
+    end-to-end (requires the plane layout + dense coarse)."""
+    r = run_cli([
+        "navierstokes_tpu.run", "--nx", "3", "--ny", "2", "--nz", "2",
+        "--steps", "1", "--dt", "0.01", "--re", "50", "--cpu",
+        "--preconditioner", "two_level", "--coarse-agg", "8",
+        "--coarse-basis", "linear", "--spmv", "plane",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Total time:" in r.stdout
+
+
+@pytest.mark.slow
 def test_create_mat_cli(tmp_path):
     out_dir = str(tmp_path / "mat")
     r = run_cli([
