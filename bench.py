@@ -15,6 +15,7 @@ the remote TPU relay.
 Prints ONE JSON line; extra detail goes to stderr.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -22,6 +23,8 @@ import time
 import numpy as np
 
 BASELINE_GFLOPS = 3.85  # BCSR4 AVX2, matrix 6 (121,480 rows), BASELINE.md
+
+SMOKE = False  # --smoke: tiny mesh, minimal chains — path check, not a timing
 
 
 def log(*args):
@@ -33,11 +36,32 @@ def fit_time(step_fn, x0, operands=(), r1=64, r2=256):
     Operator data flows through `operands` (jit args, not closure constants)."""
     from navierstokes_tpu.bench.timing import chained_op_time
 
+    if SMOKE:  # shortest valid slope pair; numbers are not meaningful
+        t = chained_op_time(step_fn, x0, operands=operands, r1=2,
+                            best_of=1, min_delta=-1.0)
+        return max(t, 1e-9)  # noise can make the 6-op slope <= 0 on CPU
     return chained_op_time(step_fn, x0, operands=operands, r1=r1)
 
 
 def main():
+    global SMOKE
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny mesh + minimal timing chains: exercises every "
+                        "benchmarked code path end-to-end (the JSON contract "
+                        "check tests/test_driver_artifacts.py runs on CPU); "
+                        "timings are meaningless in this mode")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the ambient env pins the "
+                        "TPU relay; env edits are too late — config isn't)")
+    args = p.parse_args()
+    SMOKE = args.smoke
+
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from navierstokes_tpu.fem.assembly import (
@@ -54,7 +78,10 @@ def main():
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
 
     # mmesh-class: ~30k nodes -> ~121k rows (reference matrix 6: 30,370 nodes)
-    mesh = channel_mesh(46, 24, 24, length=4.0, obstacle=True)
+    if SMOKE:
+        mesh = channel_mesh(8, 4, 4, length=4.0, obstacle=True)
+    else:
+        mesh = channel_mesh(46, 24, 24, length=4.0, obstacle=True)
     log(f"mesh: {mesh.nv} nodes ({4 * mesh.nv} rows), {mesh.ne} tets")
 
     from navierstokes_tpu.fem.assembly import assemble_dia_values
@@ -94,7 +121,7 @@ def main():
     from navierstokes_tpu.ops.pallas_dia import pretile_dia, spmv_dia_pallas
 
     t_best = t_dia
-    for tile in (8192, 4096):
+    for tile in (1024,) if SMOKE else (8192, 4096):
         d3 = pretile_dia(dia_data, disc.ndof, tile=tile)
         d3.block_until_ready()
         t_p = fit_time(
@@ -120,7 +147,7 @@ def main():
 
     noffs = node_offsets_from_scalar(offsets)
     nb = disc.ndof // 4
-    for tile in (8192,):
+    for tile in (1024,) if SMOKE else (8192,):
         p4 = pretile_planes(
             extract_planes(offsets, dia_data, nb, node_offsets=noffs),
             nb, tile=tile,
@@ -158,7 +185,9 @@ def main():
     # operator residual).  Tracks the PRODUCT, not just the kernel, so a
     # regression in iterations/preconditioning shows up in BENCH_r*.json.
     del dia_data, op, ell, idx
-    step_ms, newton_iters, lin_iters = bench_solver_step(mesh)
+    step_ms, newton_iters, lin_iters = bench_solver_step(
+        mesh, n_steps=2 if SMOKE else 10
+    )
 
     print(json.dumps({
         "metric": "spmv_gflops_121k_ns_matrix",
