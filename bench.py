@@ -213,12 +213,12 @@ def bench_solver_step(mesh, n_steps: int = 10):
     from navierstokes_tpu.config import NewtonConfig, NSConfig, SolverConfig
     from navierstokes_tpu.model import NavierStokesSolver
 
-    # Flagship config (run.py f32 defaults): two_level agg=48 with the
-    # component-plane operator layout — 11.4 ms/step at 117k DoF on one
-    # v5e (benchlogs/transient_scaling.txt round-3 plane rows).
+    # Flagship config (run.py f32 defaults): two_level with the component-
+    # plane operator layout and the auto agg schedule (48 at this size) —
+    # 11.8 ms/step at 117k DoF on one v5e (benchlogs/transient_scaling.txt).
     krylov = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
                           neumann_order=0, preconditioner="two_level",
-                          coarse_agg=48, spmv="plane")
+                          spmv="plane")
     cfg = NSConfig(
         dt=1e-3, reynolds=300.0, delta=0.05, dtype="float32",
         newton=NewtonConfig(rtol=1e-4, atol=1e-5, stol=1e-6,

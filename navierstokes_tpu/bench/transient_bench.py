@@ -47,9 +47,11 @@ def run_one(matrix_id: int, steps: int, overrides: dict,
     from navierstokes_tpu.mesh.box import scaling_series_mesh
     from navierstokes_tpu.model import NavierStokesSolver
 
+    # coarse_agg=None = the measured per-size auto schedule (config.
+    # auto_coarse_agg: 48/128/256) — the tuned step times with NO flags.
     base = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
                         neumann_order=0, preconditioner="two_level",
-                        coarse_agg=48)
+                        spmv="plane")
     import dataclasses
     krylov = dataclasses.replace(base, **overrides) if overrides else base
     # stokes keeps the BASE tolerances/method so solver-method overrides
@@ -154,6 +156,8 @@ def main(argv=None):
     p.add_argument("--spmv", default=None,
                    choices=["auto", "xla", "pallas", "plane"])
     p.add_argument("--neumann-order", type=int, default=None)
+    p.add_argument("--deflation-k", type=int, default=None)
+    p.add_argument("--deflation-arnoldi", type=int, default=None)
     p.add_argument("--method", default=None,
                    choices=["gmres", "ca_gmres", "cg"])
     p.add_argument("--release", action="store_true",
@@ -181,7 +185,9 @@ def main(argv=None):
             ("coarse_ml_damp", args.coarse_ml_damp),
             ("coarse_dense_max", args.coarse_dense_max),
             ("coarse_smooth_omega", args.coarse_smooth_omega),
-        ("coarse_basis", args.coarse_basis),
+            ("coarse_basis", args.coarse_basis),
+            ("deflation_k", args.deflation_k),
+            ("deflation_arnoldi", args.deflation_arnoldi),
             ("restart", args.restart),
             ("spmv", args.spmv),
             ("neumann_order", args.neumann_order),

@@ -39,7 +39,14 @@ class SolverConfig:
                                 # NOTE: the Neumann series need not converge on
                                 # the indefinite saddle-point system (odd orders
                                 # can diverge); prefer "two_level" for strength
-    coarse_agg: int = 64        # nodes per aggregate (two_level)
+    coarse_agg: Optional[int] = None  # nodes per aggregate (two_level).
+                                # None = auto: the measured size schedule
+                                # (48 @<=150k rows, 128 @<=600k, 256 above —
+                                # benchlogs/transient_scaling.txt post-fix
+                                # sweeps), resolved against the mesh at
+                                # solver construction (config.
+                                # resolve_coarse_defaults); pass an int to
+                                # pin it (the CLI --coarse-agg override).
     coarse_shift: float = 1e-6  # diagonal shift on the coarse operator
     coarse_ml_smooth: int = 1   # multilevel coarse: level-1 block-Jacobi
                                 # smoothing sweeps per two-grid cycle
@@ -95,6 +102,18 @@ class SolverConfig:
                                 # (by-component DoF ordering): 0.74x the
                                 # operator bytes (benchlogs/layout_census
                                 # .txt); two_level + single-chip only
+    deflation_k: int = 0        # GCRO-style recycled subspace size: k
+                                # harmonic-Ritz vectors of the
+                                # preconditioned operator, computed ONCE at
+                                # operator preparation (the exact-Jacobian
+                                # operator is constant across Newton
+                                # iterations and time steps) and projected
+                                # out of every GMRES solve
+                                # (solvers/deflation.py).  0 = off.
+                                # Requires jacobian='exact' +
+                                # method='gmres'; single-chip only.
+    deflation_arnoldi: int = 0  # Arnoldi length for the recycle setup;
+                                # 0 = auto (max(3k, 48))
     matvec_dtype: Optional[str] = None  # e.g. "bfloat16": store the scaled
                                     # operator in low precision (halves SpMV
                                     # HBM traffic; Krylov vectors stay in the
@@ -179,3 +198,47 @@ class NSConfig:
     @property
     def assembly_jnp_dtype(self):
         return jnp.dtype(self.assembly_dtype)
+
+
+def auto_coarse_agg(ndof: int) -> int:
+    """Measured two_level aggregate-size schedule (the tuned winners of the
+    per-size sweeps in benchlogs/transient_scaling.txt: agg=48 at matrix 6,
+    128 at matrix 8, 256 at matrices 9-10).  The coarse space is non-monotone
+    in agg on the saddle-point operator, so these are swept values, not a
+    formula — re-sweep before extending the table."""
+    if ndof <= 150_000:
+        return 48
+    if ndof <= 600_000:
+        return 128
+    return 256
+
+
+# Dense coarse inverses beyond this many coarse DoF are never auto-selected
+# (nc=16384 is a 1 GB f32 inverse; past it the multilevel path is the design).
+AUTO_COARSE_DENSE_CAP = 16_384
+
+
+def resolve_coarse_defaults(cfg: NSConfig, nv: int) -> NSConfig:
+    """Resolve coarse_agg=None to the measured size schedule.
+
+    Also raises coarse_dense_max to fit the scheduled aggregation when the
+    resulting coarse space is dense-invertible (<= AUTO_COARSE_DENSE_CAP):
+    the tuned m9/m10 configurations are dense at nc ~4-9k, above the 4096
+    dataclass default.  Explicit coarse_agg/coarse_dense_max values are
+    never touched (the CLI/sweep override contract)."""
+    import dataclasses as _dc
+
+    def fix(sc: SolverConfig) -> SolverConfig:
+        if sc.coarse_agg is not None:
+            return sc
+        agg = auto_coarse_agg(4 * nv)
+        updates = {"coarse_agg": agg}
+        nc = 4 * (-(-nv // agg))
+        if sc.coarse_basis == "const" and \
+                sc.coarse_dense_max < nc <= AUTO_COARSE_DENSE_CAP:
+            updates["coarse_dense_max"] = nc
+        return _dc.replace(sc, **updates)
+
+    return _dc.replace(
+        cfg, krylov=fix(cfg.krylov), stokes_krylov=fix(cfg.stokes_krylov)
+    )

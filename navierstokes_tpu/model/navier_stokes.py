@@ -61,6 +61,11 @@ class NewtonStats(NamedTuple):
 
 def _split_prep(prep):
     """Split a prepared-operator tuple into (static, arrays-pytree)."""
+    if prep[0] == "defl":
+        # defl: ("defl", inner_prep, U, Q) — GCRO recycled pair (k, n)
+        # wrapped around any prepared operator (solvers/deflation.py).
+        s, a = _split_prep(prep[1])
+        return ("defl", s), (a, prep[2], prep[3])
     if prep[0] == "bj":
         return ("bj", prep[1], prep[3]), (prep[2], prep[4])
     if prep[0] == "tlp":
@@ -76,6 +81,9 @@ def _split_prep(prep):
 
 
 def _merge_prep(static, arrays):
+    if static[0] == "defl":
+        return ("defl", _merge_prep(static[1], arrays[0]),
+                arrays[1], arrays[2])
     if static[0] == "bj":
         return ("bj", static[1], arrays[0], static[2], arrays[1])
     if static[0] == "tlp":
@@ -92,7 +100,12 @@ class NavierStokesSolver:
 
     def __init__(self, mesh: Mesh, cfg: Optional[NSConfig] = None,
                  disc: Optional[Discretization] = None):
-        self.cfg = cfg or NSConfig()
+        from navierstokes_tpu.config import resolve_coarse_defaults
+
+        # coarse_agg=None resolves to the measured per-size schedule here,
+        # so everything downstream (aggregation build, distributed padding)
+        # sees concrete numbers.
+        self.cfg = resolve_coarse_defaults(cfg or NSConfig(), mesh.nv)
         dtype = self.cfg.jnp_dtype
         # `disc` lets config sweeps share one discretization (the host-side
         # pattern build dominates setup at 500k+ rows); it must have been
@@ -146,10 +159,23 @@ class NavierStokesSolver:
             self._exact_prep_val = self._prepare_operator_dia(
                 self._jlin_bc_dia
             )
+            if self.cfg.krylov.deflation_k:
+                # Recycle a harmonic-Ritz subspace of the (constant)
+                # preconditioned operator once, project it out of every
+                # subsequent solve (solvers/deflation.py).
+                self._exact_prep_val = self._build_deflation(
+                    self._exact_prep_val
+                )
             static, arrays = _split_prep(self._exact_prep_val)
             self._prep_static = static
             self._consts["prep"] = arrays
         else:
+            if self.cfg.krylov.deflation_k:
+                raise ValueError(
+                    "deflation_k requires jacobian='exact' (recycling "
+                    "assumes a constant operator; the 'reference' mode "
+                    "rebuilds it every Newton iteration)"
+                )
             self._consts["jlin_dia"] = self._jlin_dia
         if self.cfg.residual == "operator":
             # Operator-form residual: F = A_lin u - (M/dt) u_old, both as
@@ -168,7 +194,10 @@ class NavierStokesSolver:
                 # instead of holding a second full operator copy (761 MB
                 # at 2.35M rows).  bj mode pre-scales by D^{-1}, so it
                 # cannot share.
-                self._res_A = self._exact_prep_val[2]
+                inner = self._exact_prep_val
+                if inner[0] == "defl":
+                    inner = inner[1]
+                self._res_A = inner[2]
             else:
                 self._res_A = self._maybe_pretile(offs, self._jlin_dia)
             mass_dia = self._assemble_dia(
@@ -184,9 +213,13 @@ class NavierStokesSolver:
                 )
 
                 nb = self.disc.mesh.nv
+                # follow res_A's exact layout (tile AND padded node count —
+                # the distributed plane layout pads further than the
+                # single-chip minimum)
+                tile = self._res_A.shape[3]
                 self._res_M = pretile_planes(
                     extract_planes(offs, mass_dia, nb),
-                    nb, tile=self._plane_tile(nb),
+                    nb, tile=tile, nbp=self._res_A.shape[0] * tile,
                 )
             else:
                 self._res_M = self._maybe_pretile(offs, mass_dia)
@@ -275,6 +308,13 @@ class NavierStokesSolver:
 
         d = self.disc
         cfgk = self.cfg.krylov
+        if cfgk.coarse_basis not in ("const", "linear"):
+            # validate up front: an unknown value (e.g. a sweep typo) would
+            # otherwise silently fall through to the const branch
+            raise ValueError(
+                f"unknown coarse_basis {cfgk.coarse_basis!r}; "
+                "expected 'const' or 'linear'"
+            )
         offsets = d.dia_pattern.offsets
         inv_diag = block4_inverse(
             diag_blocks_from_dia(offsets, dia_data, d.mesh.nv),
@@ -406,13 +446,12 @@ class NavierStokesSolver:
 
                 nb = d.mesh.nv
                 noffs = node_offsets_from_scalar(offsets)
-                tile = self._plane_tile(nb)
+                tile, nbp = self._plane_layout(nb, noffs)
                 p4 = pretile_planes(
                     extract_planes(offsets, dia_data, nb,
                                    node_offsets=noffs),
-                    nb, tile=tile,
+                    nb, tile=tile, nbp=nbp,
                 )
-                nbp = p4.shape[0] * tile
                 # (nb, 4, 4) inverted diagonal blocks -> (16, nbp) planes:
                 # row 4a+b holds D^{-1}[:, a, b].
                 d16 = jnp.pad(
@@ -448,9 +487,10 @@ class NavierStokesSolver:
         """Component-plane operator layout (SolverConfig.spmv='plane').
 
         Explicit opt-in; requires the two_level preconditioner (the bj path
-        pre-scales by D^{-1}, which fills the block band — stays scalar) and
-        the single-chip solver (the distributed subclass overrides this to
-        False: its halo exchange slices row-major scalar data per shard)."""
+        pre-scales by D^{-1}, which fills the block band — stays scalar).
+        Works single-chip AND distributed (round 4): the distributed solver
+        node-partitions the planes and runs the same plane kernel per shard
+        (`parallel.partitioned_spmv_plane`)."""
         return self.cfg.krylov.spmv == "plane"
 
     @staticmethod
@@ -458,6 +498,13 @@ class NavierStokesSolver:
         """Node-tile for the plane kernel: same VMEM budget reasoning as
         `_maybe_pretile` (the per-step operator block is NT*tile*4 B)."""
         return 8192 if nb <= 40_000 else 4096
+
+    def _plane_layout(self, nb: int, node_offsets: tuple):
+        """(tile, nbp) for the component-plane operator layout.  The
+        distributed subclass overrides this so every device gets whole
+        tiles, whole aggregates, and a node halo that fits its slice."""
+        tile = self._plane_tile(nb)
+        return tile, -(-nb // tile) * tile
 
     def _maybe_pretile(self, offsets, data):
         """Pre-tile DIA data to (grid, K, tile) when the solve will dispatch
@@ -697,8 +744,105 @@ class NavierStokesSolver:
 
         return matvec, b_prep, {"apply_S": apply_S, "neumann": neumann}
 
+    # -- Krylov subspace recycling (solvers/deflation.py) --------------------
+
+    _supports_deflation = True   # the distributed subclass opts out
+
+    def _build_deflation(self, prep):
+        """Wrap a prepared operator with a GCRO recycled pair ("defl",
+        prep, U, Q) — see solvers.deflation for the algebra.  Eager, once:
+        one m-step Arnoldi on-device (operator arrays as jit ARGUMENTS, the
+        closure discipline of this file) + one tiny host eig."""
+        from navierstokes_tpu.solvers.deflation import (
+            arnoldi,
+            harmonic_ritz_basis,
+            recycle_space,
+        )
+
+        if not self._supports_deflation:
+            raise ValueError(
+                "deflation_k is single-chip only (the recycled GEMVs are "
+                "not sharded); drop it or run single-device"
+            )
+        cfgk = self.cfg.krylov
+        if cfgk.method != "gmres":
+            raise ValueError(
+                "deflation_k requires method='gmres' (the projected solve "
+                "wraps the standard restarted GMRES)"
+            )
+        k = cfgk.deflation_k
+        m = cfgk.deflation_arnoldi or max(3 * k, 48)
+
+        # Raw-layout start vector: the preconditioned BC rhs (physically
+        # representative and deterministic).
+        rhs = self.disc.bc.value.astype(self.dtype)
+        if prep[0] == "tlp":
+            from navierstokes_tpu.ops.plane_dia import to_planes
+
+            rhs = to_planes(rhs, prep[6], prep[7])
+        n_raw = rhs.shape[0]
+        m = min(m, n_raw - 2)
+        k = min(k, max(m - 2, 1))
+        static, arrays = _split_prep(prep)
+
+        def _arn(arrs, r):
+            p = _merge_prep(static, arrs)
+            matvec, b_prep, _ = self._prep_operators(p)
+            return arnoldi(matvec, b_prep(r), m)
+
+        V, H = jax.jit(_arn)(arrays, rhs)
+        Y = jnp.asarray(
+            harmonic_ritz_basis(np.asarray(H), k), dtype=self.dtype
+        )
+        U, Q = jax.jit(recycle_space)(V, H, Y)
+        del V
+        return ("defl", prep, U, Q)
+
+    def _solve_deflated(self, prep, U, Q, rhs, solver_cfg):
+        """Deflated GMRES: solve in the orthogonal complement of the
+        recycled space, then correct the recycled directions exactly.
+        The inner residual IS the true preconditioned residual (see
+        solvers/deflation.py), so tolerances keep their meaning."""
+        matvec, b_prep, _ = self._prep_operators(prep)
+        b_eff = b_prep(rhs)
+        hp = jax.lax.Precision.HIGHEST
+        c0 = jnp.matmul(Q, b_eff, precision=hp)
+        r0 = b_eff - jnp.matmul(Q.T, c0, precision=hp)
+
+        def matvec_defl(x):
+            w = matvec(x)
+            return w - jnp.matmul(
+                Q.T, jnp.matmul(Q, w, precision=hp), precision=hp
+            )
+
+        res = gmres(
+            matvec_defl, r0, restart=solver_cfg.restart,
+            rtol=solver_cfg.rtol, atol=solver_cfg.atol,
+            maxiter=solver_cfg.maxiter,
+        )
+        # x = y + U (Q^T (b - T y)): one extra T apply per SOLVE (not per
+        # iteration) buys the exact recycled-direction correction.
+        a = c0 - jnp.matmul(Q, matvec(res.x), precision=hp)
+        x = res.x + jnp.matmul(U.T, a, precision=hp)
+        return GMRESResult(x=x, iters=res.iters, resnorm=res.resnorm,
+                           converged=res.converged)
+
     def _solve_prepared(self, prep, rhs, solver_cfg):
         """Left-preconditioned GMRES on the prepared operator."""
+        if prep[0] == "defl":
+            _, inner, U, Q = prep
+            if inner[0] == "tlp":
+                from navierstokes_tpu.ops.plane_dia import (
+                    from_planes,
+                    to_planes,
+                )
+
+                nb, nbp = inner[6], inner[7]
+                res = self._solve_deflated(
+                    inner, U, Q, to_planes(rhs, nb, nbp), solver_cfg
+                )
+                return res._replace(x=from_planes(res.x, nb, nbp))
+            return self._solve_deflated(inner, U, Q, rhs, solver_cfg)
         if prep[0] == "tlp":
             # Component-plane layout: the Krylov space lives in plane-major
             # vectors; convert the RHS in and the solution out ONCE per

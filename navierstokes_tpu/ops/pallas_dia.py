@@ -116,11 +116,13 @@ def pretile_dia(data, n, *, tile: int = 4096):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "tile", "interpret", "windowed", "n")
+    jax.jit,
+    static_argnames=("offsets", "tile", "interpret", "windowed", "n",
+                     "x_prehalo"),
 )
 def spmv_dia_pallas(
     offsets, data, x, *, tile: int = 4096, interpret=None, windowed=None,
-    n=None,
+    n=None, x_prehalo: bool = False,
 ):
     """y = A x for ScalarDIA (offsets, data); x: (ndof,).
 
@@ -130,20 +132,30 @@ def spmv_dia_pallas(
     fits (< 4 MB), otherwise it stays in HBM and each tile DMAs its window.
     data may be 2-D (K, n) row-major, or 3-D (grid, K, tile) tile-major from
     `pretile_dia` (windowed path only; pass n=len(x) explicitly).
+
+    x_prehalo=True (pretiled path only): x already carries `halo` ghost
+    values on BOTH ends (length n + 2*halo) — the distributed per-shard
+    case, where the halo was filled by a `ppermute` exchange instead of
+    zero padding (parallel.partitioned_spmv_dia_pretiled).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     pretiled = data.ndim == 3
     if pretiled:
         grid_, k, tile = data.shape
-        n = n if n is not None else x.shape[0]
-        n_pad = grid_ * tile
-        assert n_pad == -(-n // tile) * tile
         h = max(max(abs(d) for d in offsets), 1)
+        n = n if n is not None else (
+            x.shape[0] - 2 * h if x_prehalo else x.shape[0]
+        )
+        n_pad = grid_ * tile
+        # >= (not ==): the distributed layout pads rows further so every
+        # device gets whole tiles (padding columns carry zero data).
+        assert n_pad >= -(-n // tile) * tile
         grid = grid_
         windowed = True
         data_p = data
     else:
+        assert not x_prehalo, "x_prehalo requires pretiled (3-D) data"
         k, n = data.shape
         h = max(max(abs(d) for d in offsets), 1)
         n_pad = -(-n // tile) * tile
@@ -163,7 +175,13 @@ def spmv_dia_pallas(
         win = -(-win // granule) * granule
         # xp index of x[j] is j + h; window for tile i covers [i*tile, +win).
         # 1-D on purpose: the DMA source must share the 1-D scratch tiling.
-        xp = jnp.pad(x, (h, h + (n_pad - n) + win))
+        if x_prehalo:
+            # x = [ghost_left(h), own(n), ghost_right(h)] — already in the
+            # xp layout; only the tile-padding tail is missing.
+            assert x.shape[0] == n + 2 * h
+            xp = jnp.pad(x, (0, (n_pad - n) + win - h))
+        else:
+            xp = jnp.pad(x, (h, h + (n_pad - n) + win))
         data_spec = (
             pl.BlockSpec((1, k, tile), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)

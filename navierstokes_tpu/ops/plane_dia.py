@@ -95,13 +95,17 @@ def extract_planes(offsets: tuple, data, nb: int, node_offsets=None):
     return jnp.stack(planes)                       # (4, NT, nb)
 
 
-def pretile_planes(planes, nb: int, *, tile: int = 4096):
+def pretile_planes(planes, nb: int, *, tile: int = 4096, nbp: int = None):
     """(4, NT, nb) plane data -> (grid, 4, NT, tile) tile-major layout.
 
     One contiguous DMA per (tile, output-plane) grid step, exactly as
-    `pallas_dia.pretile_dia` does for the scalar layout."""
+    `pallas_dia.pretile_dia` does for the scalar layout.  `nbp` overrides
+    the padded node count (must be a tile multiple >= nb) — the distributed
+    layout pads further so every device gets whole tiles."""
     four, nt, _ = planes.shape
-    nbp = -(-nb // tile) * tile
+    if nbp is None:
+        nbp = -(-nb // tile) * tile
+    assert nbp % tile == 0 and nbp >= nb, (nbp, tile, nb)
     p = jnp.pad(planes, ((0, 0), (0, 0), (0, nbp - nb)))
     return p.reshape(four, nt, nbp // tile, tile).transpose(2, 0, 1, 3)
 
@@ -154,14 +158,22 @@ def _plane_kernel(terms, tile, halo, win, granule,
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("node_offsets", "nb", "interpret"))
-def spmv_plane_pallas(node_offsets, data, x, *, nb: int, interpret=None):
+@functools.partial(
+    jax.jit, static_argnames=("node_offsets", "nb", "interpret", "x_prehalo")
+)
+def spmv_plane_pallas(node_offsets, data, x, *, nb: int, interpret=None,
+                      x_prehalo: bool = False):
     """y = A x in component-plane layout.
 
     data: (grid, 4, NT, tile) from `pretile_planes`; x: flat (4 * nbp,)
     plane-major (plane b at [b*nbp, (b+1)*nbp), nbp = grid * tile); returns
     y of the same flat plane-major shape.  `nb` is the live node count
     (<= nbp); rows past it are zero-padded through.
+
+    x_prehalo=True: each plane of x already carries `h` ghost nodes on both
+    ends (x: (4*(nbp + 2h),), plane b at [b*(nbp+2h), ...)) — the
+    distributed per-shard case, halo filled by a ppermute exchange
+    (parallel.partitioned_spmv_plane).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -169,14 +181,20 @@ def spmv_plane_pallas(node_offsets, data, x, *, nb: int, interpret=None):
     terms = plane_terms(node_offsets)
     assert four == 4 and nt == len(terms)
     nbp = grid * tile
-    assert x.shape[0] == 4 * nbp
     h = max(max(abs(d) for d in node_offsets), 1)
     granule = max(4096 // x.dtype.itemsize, 128)
     win = -(-(tile + 2 * h + granule) // granule) * granule
     # Per-plane padded stream: xp[b*(nbp+win) + h + i] = x_b[i].  The +win
     # tail keeps the last tile's window (start (nbp-tile), length win) inside
     # the plane's own segment; h left-pads the negative node offsets.
-    xp = jnp.pad(x.reshape(4, nbp), ((0, 0), (h, win - h))).reshape(-1)
+    if x_prehalo:
+        assert x.shape[0] == 4 * (nbp + 2 * h)
+        xp = jnp.pad(
+            x.reshape(4, nbp + 2 * h), ((0, 0), (0, win - 2 * h))
+        ).reshape(-1)
+    else:
+        assert x.shape[0] == 4 * nbp
+        xp = jnp.pad(x.reshape(4, nbp), ((0, 0), (h, win - h))).reshape(-1)
 
     out = pl.pallas_call(
         functools.partial(_plane_kernel, terms, tile, h, win, granule),

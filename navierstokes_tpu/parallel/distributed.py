@@ -1,13 +1,23 @@
 """Multi-chip Navier–Stokes solver: domain decomposition over a device mesh.
 
 Extends the single-chip `NavierStokesSolver` by routing every Krylov matvec
-through the partitioned scalar-DIA SpMV (`parallel.partitioned`): vectors are
-padded and row-sharded over the mesh axis, each matvec does one bidirectional
+through a partitioned SpMV (`parallel.partitioned`): vectors are padded and
+row-sharded over the mesh axis, each matvec does one bidirectional
 `ppermute` halo exchange of max|offset| boundary scalars, and the GMRES
 dots/norms on the sharded vectors are partitioned by XLA into local
 reductions + psum.  Both the per-iteration ("reference" Jacobian) and the
 precomputed ("exact") solve paths inherit this automatically through
 `_solve_prepared`.
+
+The FLAGSHIP kernels run per shard (round 4): the operator is pre-tiled per
+device (`_dist_layout` pads every device to whole tiles) and each shard's
+SpMV is the same windowed double-buffered-DMA Pallas kernel as single-chip
+(`partitioned_spmv_dia_pretiled`); with spmv='plane' the whole Krylov space
+stays in the component-plane layout, node-partitioned, with a per-plane halo
+exchange (`partitioned_spmv_plane`, `_solve_prepared_tlp`).  This is the
+kernel-injection seam applied to the distributed operator too — the
+reference injects its AVX2 MatMult into every operator it owns
+(`src/solve_newton.c:864-879`).
 
 The mesh must be band-ordered (RCM) so the scalar bandwidth fits in a
 per-device chunk — `from_mesh` handles ordering and validates the fit.
@@ -15,6 +25,7 @@ per-device chunk — `from_mesh` handles ordering and validates the fit.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -26,11 +37,19 @@ from navierstokes_tpu.config import NSConfig
 from navierstokes_tpu.mesh.core import Mesh
 from navierstokes_tpu.mesh.ordering import best_ordering, reorder_mesh
 from navierstokes_tpu.model.navier_stokes import NavierStokesSolver
-from navierstokes_tpu.parallel.partitioned import partitioned_spmv_dia
+from navierstokes_tpu.parallel.partitioned import (
+    partitioned_spmv_dia,
+    partitioned_spmv_dia_pretiled,
+    partitioned_spmv_plane,
+)
 from navierstokes_tpu.solvers.gmres import GMRESResult, gmres
 
 
 class DistributedNavierStokesSolver(NavierStokesSolver):
+    # Krylov recycling keeps its (k, n) GEMVs unsharded — single-chip only
+    # until they are (model._build_deflation raises a clear error).
+    _supports_deflation = False
+
     def __init__(
         self,
         mesh: Mesh,
@@ -60,14 +79,77 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
                 "reduce device count or refine/reorder the mesh"
             )
 
-    def _maybe_pretile(self, offsets, data):
-        # partitioned SpMV slices row-major DIA data per shard: never pretile
-        return data
+    # -- distributed kernel layouts ------------------------------------------
 
-    def _plane_mode(self) -> bool:
-        # The component-plane layout is single-chip: the partitioned SpMV's
-        # halo exchange slices row-major scalar-DIA data per shard.
-        return False
+    def _granule(self) -> int:
+        """1-D VMEM DMA granule in elements of the run dtype (Mosaic: 4 KB)."""
+        return max(4096 // jnp.dtype(self.dtype).itemsize, 128)
+
+    def _agg_mult(self) -> int:
+        """Scalar-row alignment required by the coarse aggregation (tl)."""
+        if self.cfg.krylov.preconditioner == "two_level":
+            return 4 * self.cfg.krylov.coarse_agg
+        return 1
+
+    def _dist_layout(self, offsets):
+        """(tile, n_pad) for the per-shard pre-tiled scalar-DIA layout.
+
+        Every device gets whole kernel tiles (tile | rows-per-device), whole
+        aggregates (4*agg | tile), and a halo that fits its slice.  tile is
+        a DMA-granule multiple near the single-chip empirical target."""
+        h = max(max(abs(d) for d in offsets), 1)
+        n = self.disc.ndof
+        ndev = self.n_devices
+        base = math.lcm(self._agg_mult(), self._granule())
+        target = 8192 if n // ndev <= 150_000 else 4096
+        tile = max(base, (target // base) * base)
+        need = max(-(-n // ndev), h)       # minimal rows-per-device
+        tile = min(tile, -(-need // base) * base)  # never coarser than a shard
+        L = -(-need // tile) * tile
+        return tile, ndev * L
+
+    def _maybe_pretile(self, offsets, data):
+        """Pre-tile for the per-shard windowed Pallas kernel
+        (`partitioned_spmv_dia_pretiled`) — same routing rules as the
+        single-chip version, with the device-aligned padding."""
+        kind = self.cfg.krylov.spmv
+        if kind != "pallas" and (
+            kind == "xla"
+            or data.dtype not in (jnp.float32, jnp.bfloat16)
+            or jax.default_backend() != "tpu"
+        ):
+            return data
+        if kind in ("auto", "plane") and data.nbytes <= 4 * 1024 * 1024:
+            return data
+        from navierstokes_tpu.ops.pallas_dia import pretile_dia
+
+        tile, n_pad = self._dist_layout(offsets)
+        n = data.shape[1]
+        data_p = jnp.pad(data, ((0, 0), (0, n_pad - n)))
+        return pretile_dia(data_p, n_pad, tile=tile)
+
+    def _plane_layout(self, nb: int, node_offsets: tuple):
+        """(tile, nbp) for the distributed component-plane layout: whole
+        node tiles and whole aggregates per device, node halo fits."""
+        h = max(max(abs(d) for d in node_offsets), 1)
+        ndev = self.n_devices
+        agg = self.cfg.krylov.coarse_agg
+        base = math.lcm(agg, self._granule())
+        target = self._plane_tile(nb)
+        tile = max(base, (target // base) * base)
+        need = max(-(-nb // ndev), h)      # minimal nodes-per-device
+        tile = min(tile, -(-need // base) * base)
+        Lb = -(-need // tile) * tile
+        return tile, ndev * Lb
+
+    def _prepare_operator_dia(self, dia_data):
+        if self._plane_mode() and self.cfg.krylov.coarse_basis == "linear":
+            raise ValueError(
+                "coarse_basis='linear' is single-chip only (its weighted "
+                "restriction is not implemented per shard; it is also a "
+                "measured loss at scale — benchlogs/transient_scaling.txt)"
+            )
+        return super()._prepare_operator_dia(dia_data)
 
     # -- sharded setup: assembly in the partitioned view --------------------
     #
@@ -137,23 +219,50 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
         L = -(-L // multiple) * multiple
         return P_ * L
 
+    def _shard_spmv(self, offsets, data, x):
+        """Per-shard SpMV dispatch: the pre-tiled Pallas kernel when the
+        operator was pretiled (3-D), the XLA shifted-multiply-add fallback
+        otherwise.  The distributed analog of `NavierStokesSolver._spmv`."""
+        dmesh, ax, ndev = self.device_mesh, self.axis, self.n_devices
+        if data.ndim == 3:
+            return partitioned_spmv_dia_pretiled(
+                dmesh, ax, offsets, data, x, ndev
+            )
+        return partitioned_spmv_dia(dmesh, ax, offsets, data, x, ndev)
+
+    def shard_kernel_name(self) -> str:
+        """Which per-shard SpMV implementation the prepared operator will
+        dispatch to (the external contract `dryrun_multichip` prints)."""
+        self._ensure_prepared()
+        prep = self._exact_prep_val if self.cfg.jacobian == "exact" else None
+        if prep is None:
+            return "xla_dia(per-iteration prep)"
+        if prep[0] == "tlp":
+            return "plane_pallas"
+        data = prep[2]
+        return "pretiled_pallas" if data.ndim == 3 else "xla_dia"
+
     def _solve_prepared(self, prep, rhs, solver_cfg):
+        if prep[0] == "tlp":
+            return self._solve_prepared_tlp(prep, rhs, solver_cfg)
         if prep[0] == "tl":
             return self._solve_prepared_tl(prep, rhs, solver_cfg)
         _, s_offsets, s_data, invd_offsets, invd_data = prep
         halo = max(max(abs(d) for d in s_offsets), 1)
         n = self.disc.ndof
-        n_pad = self._pad_n(halo)
+        pretiled = s_data.ndim == 3
+        n_pad = (s_data.shape[0] * s_data.shape[2] if pretiled
+                 else self._pad_n(halo))
         pad = n_pad - n
 
-        s_data_p = jnp.pad(s_data, ((0, 0), (0, pad)))
+        s_data_p = s_data if pretiled else jnp.pad(s_data, ((0, 0), (0, pad)))
         invd_p = jnp.pad(invd_data, ((0, 0), (0, pad)))
         b = jnp.pad(rhs, (0, pad))
         order = self.cfg.krylov.neumann_order
         dmesh, ax, ndev = self.device_mesh, self.axis, self.n_devices
 
         def apply_S(x):
-            return partitioned_spmv_dia(dmesh, ax, s_offsets, s_data_p, x, ndev)
+            return self._shard_spmv(s_offsets, s_data_p, x)
 
         def apply_Dinv(x):
             return partitioned_spmv_dia(dmesh, ax, invd_offsets, invd_p, x, ndev)
@@ -171,9 +280,12 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
 
         b_eff = neumann(apply_Dinv(b))
 
-        if solver_cfg.method == "ca_gmres" and order == 0:
+        if solver_cfg.method == "ca_gmres" and order == 0 and not pretiled:
             # Communication-avoiding s-step GMRES: the whole basis from ONE
             # k*halo-deep exchange (parallel.partitioned_spmv_dia_power).
+            # (The power kernel slices row-major data; with a pretiled
+            # operator ca_gmres falls through to the chained-matvec basis
+            # below, like the tl path.)
             from navierstokes_tpu.parallel.partitioned import (
                 partitioned_spmv_dia_power,
             )
@@ -199,11 +311,20 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
                 )
             # basis too deep for the partition: fall through to gmres
 
-        res = gmres(
-            matvec, b_eff, restart=solver_cfg.restart,
-            rtol=solver_cfg.rtol, atol=solver_cfg.atol,
-            maxiter=solver_cfg.maxiter,
-        )
+        if solver_cfg.method == "ca_gmres" and pretiled:
+            from navierstokes_tpu.solvers.sstep import ca_gmres
+
+            res = ca_gmres(
+                matvec, b_eff, basis=min(solver_cfg.restart, 16),
+                rtol=solver_cfg.rtol, atol=solver_cfg.atol,
+                maxiter=solver_cfg.maxiter,
+            )
+        else:
+            res = gmres(
+                matvec, b_eff, restart=solver_cfg.restart,
+                rtol=solver_cfg.rtol, atol=solver_cfg.atol,
+                maxiter=solver_cfg.maxiter,
+            )
         return GMRESResult(
             x=res.x[:n], iters=res.iters, resnorm=res.resnorm,
             converged=res.converged,
@@ -227,11 +348,17 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
         agg = cs.agg_size
         halo = max(max(abs(d) for d in a_offsets), 1)
         n = self.disc.ndof
-        n_pad = self._pad_n(halo, multiple=4 * agg)
+        pretiled = a_data.ndim == 3
+        if pretiled:
+            # _dist_layout guaranteed tile % (4*agg) == 0 at prepare time
+            n_pad = a_data.shape[0] * a_data.shape[2]
+            assert n_pad % (4 * agg * self.n_devices) == 0
+        else:
+            n_pad = self._pad_n(halo, multiple=4 * agg)
         pad = n_pad - n
         dmesh, ax, ndev = self.device_mesh, self.axis, self.n_devices
 
-        a_data_p = jnp.pad(a_data, ((0, 0), (0, pad)))
+        a_data_p = a_data if pretiled else jnp.pad(a_data, ((0, 0), (0, pad)))
         invd_p = jnp.pad(invd_data, ((0, 0), (0, pad)))
         b = jnp.pad(rhs, (0, pad))
         # Coarse DoF count over the padded rows; extra (padding) aggregates
@@ -243,7 +370,7 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
         mask = (jnp.arange(n_pad) < n).astype(b.dtype)
 
         def apply_A(x):
-            return partitioned_spmv_dia(dmesh, ax, a_offsets, a_data_p, x, ndev)
+            return self._shard_spmv(a_offsets, a_data_p, x)
 
         def apply_Dinv(x):
             return partitioned_spmv_dia(dmesh, ax, invd_offsets, invd_p, x, ndev)
@@ -361,4 +488,165 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
         return GMRESResult(
             x=res.x[:n], iters=res.iters, resnorm=res.resnorm,
             converged=res.converged,
+        )
+
+    def _solve_prepared_tlp(self, prep, rhs, solver_cfg):
+        """Distributed two-level solve in the COMPONENT-PLANE layout.
+
+        The flagship single-chip layout (`ops/plane_dia.py`) kept intact
+        under distribution: nodes are row-partitioned with whole kernel
+        tiles and whole aggregates per device (`_plane_layout`), the whole
+        Krylov space stays plane-major, each matvec is one (4, halo)
+        ppermute exchange + the per-shard plane Pallas kernel, D^{-1} is 16
+        local elementwise plane multiplies, and the coarse correction is a
+        local reshape-sum restriction + one tiny all_gather + a row-sharded
+        dense solve (or a replicated multilevel cycle) + local broadcast
+        prolongation — identical communication structure to the scalar
+        `_solve_prepared_tl`, at 0.74x the operator bytes per shard.
+        """
+        from navierstokes_tpu.ops.plane_dia import from_planes, to_planes
+
+        _, noffs, p4, d16, c_arrays, c_static, nb, nbp = prep
+        if c_static[0] == "dense_lin":
+            raise ValueError("coarse_basis='linear' is single-chip only")
+        cs = c_static[1]
+        agg = cs.agg_size
+        dmesh, ax, ndev = self.device_mesh, self.axis, self.n_devices
+        Lb = nbp // ndev
+        assert Lb % agg == 0 and Lb % p4.shape[3] == 0, (Lb, agg, p4.shape)
+        nc_pad = 4 * (nbp // agg)
+        hp = jax.lax.Precision.HIGHEST
+
+        b = to_planes(rhs, nb, nbp)                        # (4*nbp,)
+        # node mask: live nodes only (padding nodes stay identically zero)
+        mask = (jnp.arange(nbp) < nb).astype(b.dtype)
+
+        def apply_A(x):
+            return partitioned_spmv_plane(dmesh, ax, noffs, p4, x, ndev)
+
+        def _dinv_body(d16_loc, r_loc):
+            # (16, Lb) x (4, Lb): block-diagonal D^{-1} as elementwise
+            # plane multiplies — zero communication.
+            return jnp.einsum(
+                "abn,bn->an", d16_loc.reshape(4, 4, -1), r_loc, precision=hp
+            )
+
+        dinv_sharded = jax.shard_map(
+            _dinv_body, mesh=dmesh,
+            in_specs=(P(None, ax), P(None, ax)), out_specs=P(None, ax),
+        )
+
+        def apply_Dinv(r):
+            return dinv_sharded(d16, r.reshape(4, nbp)).reshape(-1)
+
+        if c_static[0] == "dense":
+            nc = cs.nc
+            ac_inv_p = jnp.pad(
+                c_arrays[0], ((0, nc_pad - nc), (0, nc_pad - nc))
+            )
+
+            def _coarse_body(r_loc, acinv_loc, mask_loc):
+                # local restriction: reshape-sum per plane over whole
+                # aggregates, then interleave on the (tiny) coarse vector —
+                # the plane trick of solvers.coarse.restrict_planes, per
+                # shard.  Coarse dof 4g+c of aggregate g, component c.
+                lb = r_loc.shape[1]
+                rc_loc = r_loc.reshape(4, lb // agg, agg).sum(-1)
+                rc_loc = rc_loc.T.reshape(-1)              # (4*lb/agg,)
+                rc = jax.lax.all_gather(rc_loc, ax, tiled=True)  # (nc_pad,)
+                zc_loc = jnp.matmul(acinv_loc, rc, precision=hp)
+                z2 = zc_loc.reshape(-1, 4).T               # (4, lb/agg)
+                z_loc = jnp.broadcast_to(
+                    z2[:, :, None], (4, lb // agg, agg)
+                ).reshape(4, lb)
+                return z_loc * mask_loc[None, :]
+
+            coarse_correct = jax.shard_map(
+                _coarse_body, mesh=dmesh,
+                in_specs=(P(None, ax), P(ax, None), P(ax)),
+                out_specs=P(None, ax),
+            )
+
+            def coarse(r):
+                return coarse_correct(
+                    r.reshape(4, nbp), ac_inv_p, mask
+                ).reshape(-1)
+        else:
+            # Multilevel coarse, replicated per device (same trade as the
+            # scalar path: the coarse system is tiny relative to the fine
+            # grid — one all_gather in, local slice out).
+            from navierstokes_tpu.ops.spmv import spmv_dia
+            from navierstokes_tpu.solvers.coarse import prolong, restrict
+
+            _, _, c_off, cs2 = c_static
+            ac1, invd1_data, ac2_inv = c_arrays
+            invd1_off = tuple(range(-3, 4))
+            nc = cs.nc
+            chunk = nc_pad // ndev
+            n_smooth = self.cfg.krylov.coarse_ml_smooth
+            n_cycles = self.cfg.krylov.coarse_ml_cycles
+            damp = self.cfg.krylov.coarse_ml_damp
+
+            def _coarse_body_ml(r_loc, ac1_r, invd1_r, ac2_r, mask_loc):
+                lb = r_loc.shape[1]
+                rc_loc = r_loc.reshape(4, lb // agg, agg).sum(-1)
+                rc_loc = rc_loc.T.reshape(-1)
+                rc = jax.lax.all_gather(rc_loc, ax, tiled=True)[:nc]
+                zc = jnp.zeros_like(rc)
+                for _ in range(n_cycles):
+                    r1 = rc - spmv_dia(c_off, ac1_r, zc)
+                    zc = zc + prolong(cs2, jnp.matmul(
+                        ac2_r, restrict(cs2, r1), precision=hp))
+                    for _ in range(n_smooth):
+                        zc = zc + damp * spmv_dia(
+                            invd1_off, invd1_r,
+                            rc - spmv_dia(c_off, ac1_r, zc),
+                        )
+                zc = jnp.pad(zc, (0, nc_pad - nc))
+                zc_loc = jax.lax.dynamic_slice(
+                    zc, (jax.lax.axis_index(ax) * chunk,), (chunk,)
+                )
+                z2 = zc_loc.reshape(-1, 4).T
+                z_loc = jnp.broadcast_to(
+                    z2[:, :, None], (4, lb // agg, agg)
+                ).reshape(4, lb)
+                return z_loc * mask_loc[None, :]
+
+            coarse_correct = jax.shard_map(
+                _coarse_body_ml, mesh=dmesh,
+                in_specs=(P(None, ax), P(), P(), P(), P(ax)),
+                out_specs=P(None, ax),
+            )
+
+            def coarse(r):
+                return coarse_correct(
+                    r.reshape(4, nbp), ac1, invd1_data, ac2_inv, mask
+                ).reshape(-1)
+
+        def minv(r):
+            z = coarse(r)
+            return z + apply_Dinv(r - apply_A(z))
+
+        def matvec(x):
+            return minv(apply_A(x))
+
+        b_eff = minv(b)
+
+        if solver_cfg.method == "ca_gmres":
+            from navierstokes_tpu.solvers.sstep import ca_gmres
+
+            res = ca_gmres(
+                matvec, b_eff, basis=min(solver_cfg.restart, 16),
+                rtol=solver_cfg.rtol, atol=solver_cfg.atol,
+                maxiter=solver_cfg.maxiter,
+            )
+        else:
+            res = gmres(
+                matvec, b_eff, restart=solver_cfg.restart,
+                rtol=solver_cfg.rtol, atol=solver_cfg.atol,
+                maxiter=solver_cfg.maxiter,
+            )
+        return GMRESResult(
+            x=from_planes(res.x, nb, nbp), iters=res.iters,
+            resnorm=res.resnorm, converged=res.converged,
         )

@@ -188,6 +188,102 @@ def partitioned_spmv_dia(
     )(data, x)
 
 
+def partitioned_spmv_dia_pretiled(
+    mesh: Mesh,
+    axis: str,
+    offsets: tuple,
+    data3: jnp.ndarray,    # (n_devices*grid_loc, K, tile) from pretile_dia
+    x: jnp.ndarray,        # (n_pad,)
+    n_devices: int,
+    interpret=None,
+) -> jnp.ndarray:
+    """Scalar-DIA SpMV over a device mesh with the PRE-TILED Pallas kernel
+    per shard: one bidirectional halo exchange, then each device runs the
+    same windowed double-buffered-DMA kernel as the single-chip flagship
+    (`ops.pallas_dia.spmv_dia_pallas`) on its contiguous row range — the
+    kernel-injection seam extended to the distributed operator (the
+    reference injects its AVX2 MatMult into every operator it owns,
+    `src/solve_newton.c:864-879`).
+
+    Requires rows-per-device to be whole tiles (the distributed layout in
+    `DistributedNavierStokesSolver._dist_layout` guarantees it) and
+    halo <= rows-per-device.  Padding rows carry zero data columns.
+    """
+    from navierstokes_tpu.ops.pallas_dia import spmv_dia_pallas
+
+    grid, K, tile = data3.shape
+    n_pad = grid * tile
+    if grid % n_devices:
+        raise ValueError("tile grid must divide evenly across devices")
+    L = n_pad // n_devices
+    h = max(max(abs(d) for d in offsets), 1)
+    if h > L:
+        raise ValueError(f"scalar halo {h} exceeds rows-per-device {L}")
+
+    def body(d3_loc, x_loc):
+        xw = _exchange(x_loc, h, axis, n_devices)       # (L + 2h,)
+        return spmv_dia_pallas(
+            offsets, d3_loc, xw, n=L, x_prehalo=True, interpret=interpret
+        )
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, which the default shard_map validation rejects.
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )(data3, x)
+
+
+def partitioned_spmv_plane(
+    mesh: Mesh,
+    axis: str,
+    node_offsets: tuple,
+    p4: jnp.ndarray,       # (n_devices*grid_loc, 4, NT, tile) pretiled planes
+    x: jnp.ndarray,        # (4 * nbp,) flat plane-major
+    n_devices: int,
+    interpret=None,
+) -> jnp.ndarray:
+    """Component-plane SpMV over a device mesh: nodes are row-partitioned,
+    each device holds its slice of ALL FOUR planes, and one bidirectional
+    ppermute of the node halo (per plane, batched as a (4, h) exchange)
+    feeds the per-shard plane Pallas kernel (`ops.plane_dia`).  This keeps
+    the flagship 0.74x-bytes layout intact under distribution — vectors stay
+    plane-major end to end; only the halo moves over ICI.
+    """
+    from navierstokes_tpu.ops.plane_dia import spmv_plane_pallas
+
+    grid, four, nt, tile = p4.shape
+    nbp = grid * tile
+    if grid % n_devices:
+        raise ValueError("tile grid must divide evenly across devices")
+    Lb = nbp // n_devices
+    h = max(max(abs(d) for d in node_offsets), 1)
+    if h > Lb:
+        raise ValueError(f"node halo {h} exceeds nodes-per-device {Lb}")
+
+    def body(p4_loc, x_loc):
+        # x_loc: (4, Lb).  Exchange along the node axis for all 4 planes at
+        # once (leading-axis exchange on the transposed view).
+        xw = _exchange(x_loc.T, h, axis, n_devices).T   # (4, Lb + 2h)
+        y = spmv_plane_pallas(
+            node_offsets, p4_loc, xw.reshape(-1), nb=Lb, x_prehalo=True,
+            interpret=interpret,
+        )
+        return y.reshape(4, Lb)
+
+    y = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None, None, None), P(None, axis)),
+        out_specs=P(None, axis),
+        check_vma=False,           # pallas out_shape has no vma annotation
+    )(p4, x.reshape(4, nbp))
+    return y.reshape(-1)
+
+
 def partitioned_spmv_dia_power(
     mesh: Mesh,
     axis: str,

@@ -21,6 +21,18 @@ import sys
 import time
 
 
+def default_f32_krylov():
+    """The flagship f32 Krylov defaults (single source of truth: run.py's
+    f32 path AND the driver contract `__graft_entry__.dryrun_multichip`
+    assert against this — VERDICT r3 item 8).  coarse_agg stays None = the
+    measured per-size auto schedule (config.auto_coarse_agg)."""
+    from navierstokes_tpu.config import SolverConfig
+
+    return SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
+                        neumann_order=0, preconditioner="two_level",
+                        spmv="plane")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="TPU-native transient NS solver")
     p.add_argument("--msh", help="Gmsh 2.2 mesh file")
@@ -74,6 +86,12 @@ def main(argv=None):
                         "or orthonormalized {1,x,y,z} (plane mode only)")
     p.add_argument("--neumann-order", type=int, default=None,
                    help="Neumann-series boost of block-Jacobi")
+    p.add_argument("--deflation-k", type=int, default=None,
+                   help="GCRO recycled-subspace size (harmonic Ritz "
+                        "vectors of the constant preconditioned operator; "
+                        "0 = off)")
+    p.add_argument("--deflation-arnoldi", type=int, default=None,
+                   help="Arnoldi length for the recycle setup (0 = auto)")
     p.add_argument("--ca-gmres", action="store_true",
                    help="use the s-step (communication-avoiding) GMRES")
     p.add_argument("--restart", type=int, default=None,
@@ -118,16 +136,13 @@ def main(argv=None):
         newton = NewtonConfig(rtol=1e-4, atol=1e-5, stol=1e-6,
                               du_tol=float("inf"))
         # two_level + component-plane layout measured best on one v5e at
-        # 117k DoF: 11.4 ms/step (newton 2, 69 GMRES iters, 0.16 ms/iter)
-        # vs 16.3 ms for the scalar-DIA layout at identical counts — see
-        # benchlogs/transient_scaling.txt round-3 plane rows.  agg=48 from
-        # the round-2 sweep (PARITY.md).
-        krylov = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
-                              neumann_order=0, preconditioner="two_level",
-                              coarse_agg=48, spmv="plane")
-        stokes = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
-                              neumann_order=0, preconditioner="two_level",
-                              coarse_agg=48, spmv="plane")
+        # 117k DoF: 11.8 ms/step (newton 2, 69 GMRES iters, 0.17 ms/iter)
+        # vs 16.4 ms for the scalar-DIA layout at identical counts — see
+        # benchlogs/transient_scaling.txt post-fix rows.  coarse_agg=None =
+        # the measured per-size schedule (48/128/256 — config.
+        # auto_coarse_agg), so the tuned step times ARE the defaults.
+        krylov = default_f32_krylov()
+        stokes = default_f32_krylov()
     else:
         newton = NewtonConfig()
         krylov = SolverConfig()
@@ -147,6 +162,8 @@ def main(argv=None):
         ("coarse_smooth_omega", args.coarse_smooth_omega),
         ("coarse_basis", args.coarse_basis),
         ("neumann_order", args.neumann_order),
+        ("deflation_k", args.deflation_k),
+        ("deflation_arnoldi", args.deflation_arnoldi),
         ("restart", args.restart),
     ):
         if value is not None:

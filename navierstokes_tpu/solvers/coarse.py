@@ -123,6 +123,7 @@ def restrict_planes(cs: CoarseSpace, rp, nbp: int):
 
 def prolong_planes(cs: CoarseSpace, zc, nbp: int, nb: int, dtype=None):
     """P zc: interleaved coarse (nc,) -> plane-major padded fine vector."""
+    assert cs.nb_pad <= nbp, (cs.nb_pad, nbp)
     z2 = zc.reshape(cs.n_agg, 4).T                        # (4, n_agg)
     zf = jnp.broadcast_to(
         z2[:, :, None], (4, cs.n_agg, cs.agg_size)
@@ -422,6 +423,7 @@ def restrict_planes_linear(cs: CoarseSpace, rp, nbp: int, w):
 
 def prolong_planes_linear(cs: CoarseSpace, zc, nbp: int, nb: int, w):
     """P zc: (16*n_agg,) coarse -> plane-major padded fine vector."""
+    assert cs.nb_pad <= nbp, (cs.nb_pad, nbp)
     z3 = zc.reshape(cs.n_agg, 4, 4)
     w3 = w.reshape(4, cs.n_agg, cs.agg_size)
     zf = jnp.einsum("gmc,mgp->cgp", z3, w3,

@@ -257,6 +257,98 @@ def test_distributed_solver_ca_gmres_method():
     assert err < 1e-6, f"distributed ca_gmres drift {err}"
 
 
+def test_partitioned_pretiled_and_plane_spmv_match(device_mesh,
+                                                   banded_operator):
+    """Per-shard FLAGSHIP kernels == single-chip XLA DIA: the pre-tiled
+    windowed Pallas kernel and the component-plane kernel, each behind one
+    ppermute halo exchange (round-4 closure of the kernel-injection seam —
+    the reference injects AVX2 into every operator it owns,
+    `src/solve_newton.c:864-879`)."""
+    from navierstokes_tpu.ops.pallas_dia import pretile_dia
+    from navierstokes_tpu.ops.plane_dia import (
+        extract_planes,
+        from_planes,
+        node_offsets_from_scalar,
+        pretile_planes,
+        to_planes,
+    )
+    from navierstokes_tpu.ops.spmv import spmv_dia
+    from navierstokes_tpu.parallel.partitioned import (
+        partitioned_spmv_dia_pretiled,
+        partitioned_spmv_plane,
+    )
+    from navierstokes_tpu.sparse.dia import dia_from_bcsr
+
+    disc, op = banded_operator
+    dia = dia_from_bcsr(op)
+    n = disc.ndof
+    granule = 512                      # 4 KB DMA granule in f64 elements
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal(n))
+    y_ref = spmv_dia(dia.offsets, dia.data, x)
+
+    # scalar pre-tiled: whole tiles per device
+    L = -(-max(-(-n // N_DEV), dia.halo) // granule) * granule
+    n_pad = N_DEV * L
+    d3 = pretile_dia(jnp.pad(dia.data, ((0, 0), (0, n_pad - n))), n_pad,
+                     tile=granule)
+    y = partitioned_spmv_dia_pretiled(
+        device_mesh, "x", dia.offsets, d3, jnp.pad(x, (0, n_pad - n)), N_DEV
+    )
+    np.testing.assert_allclose(np.asarray(y[:n]), np.asarray(y_ref),
+                               rtol=1e-13, atol=1e-13)
+
+    # component-plane: whole node tiles per device, per-plane halo exchange
+    nb = n // 4
+    noffs = node_offsets_from_scalar(dia.offsets)
+    hn = max(max(abs(d) for d in noffs), 1)
+    Lb = -(-max(-(-nb // N_DEV), hn) // granule) * granule
+    nbp = N_DEV * Lb
+    p4 = pretile_planes(
+        extract_planes(dia.offsets, dia.data, nb, node_offsets=noffs),
+        nb, tile=granule, nbp=nbp,
+    )
+    y_pl = from_planes(
+        partitioned_spmv_plane(device_mesh, "x", noffs, p4,
+                               to_planes(x, nb, nbp), N_DEV),
+        nb, nbp,
+    )
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref),
+                               rtol=1e-13, atol=1e-13)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("spmv,kernel", [("pallas", "pretiled_pallas"),
+                                         ("plane", "plane_pallas")])
+def test_distributed_flagship_kernels_match_single_chip(spmv, kernel):
+    """Full distributed transient step with the per-shard flagship kernels
+    (pre-tiled Pallas scalar-DIA / component-plane) == single chip, and the
+    external contract names the shard kernel (dryrun prints it)."""
+    import dataclasses
+
+    kr = SolverConfig(rtol=1e-12, atol=1e-13, maxiter=4000,
+                      preconditioner="two_level", coarse_agg=4, spmv=spmv)
+    cfg = NSConfig(
+        dt=0.01, t_final=0.02, reynolds=100.0, delta=0.1, dtype="float64",
+        krylov=kr,
+        stokes_krylov=dataclasses.replace(kr, rtol=1e-13),
+    )
+    mesh = channel_mesh(12, 2, 2, length=6.0)
+
+    single = NavierStokesSolver(mesh, cfg)
+    u_single = single.run(1, monitor=False)
+
+    dist, _ = DistributedNavierStokesSolver.from_mesh(
+        mesh, cfg, devices=jax.devices()[:N_DEV]
+    )
+    assert dist.shard_kernel_name() == kernel
+    u_dist = dist.run(1, monitor=False)
+    err = np.linalg.norm(np.asarray(u_dist) - np.asarray(u_single)) / (
+        np.linalg.norm(np.asarray(u_single))
+    )
+    assert err < 1e-8, f"{spmv} multi-chip vs single-chip error {err}"
+
+
 def test_partition_rejects_wide_band(device_mesh):
     mesh = channel_mesh(2, 2, 2)  # tiny: bandwidth ~ nv
     disc = build_discretization(mesh, dtype=jnp.float64)
