@@ -156,6 +156,7 @@ def main(argv=None):
     p.add_argument("--spmv", default=None,
                    choices=["auto", "xla", "pallas", "plane"])
     p.add_argument("--neumann-order", type=int, default=None)
+    p.add_argument("--cgs2", default=None, choices=["xla", "pallas", "pallas_comp"])
     p.add_argument("--deflation-k", type=int, default=None)
     p.add_argument("--deflation-arnoldi", type=int, default=None)
     p.add_argument("--method", default=None,
@@ -191,6 +192,7 @@ def main(argv=None):
             ("restart", args.restart),
             ("spmv", args.spmv),
             ("neumann_order", args.neumann_order),
+            ("cgs2", args.cgs2),
             ("method", args.method),
         ) if v is not None
     }

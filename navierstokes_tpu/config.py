@@ -114,6 +114,20 @@ class SolverConfig:
                                 # method='gmres'; single-chip only.
     deflation_arnoldi: int = 0  # Arnoldi length for the recycle setup;
                                 # 0 = auto (max(3k, 48))
+    cgs2: str = "xla"           # "xla" | "pallas" | "pallas_comp": GMRES
+                                # orthogonalization
+                                # backend.  "pallas" = the fused 3-sweep
+                                # projection with a dynamic active-row bound
+                                # (ops/cgs2_pallas.py, ~0.38x the HBM
+                                # traffic of the 4 XLA GEMVs); requires a
+                                # tile-aligned vector length (the flagship
+                                # plane/pretiled layouts) else falls back
+                                # to XLA.  "pallas_comp" additionally
+                                # runs the projection sums as Kahan
+                                # compensated f32 (the TPU-native
+                                # mixed-precision CGS2 — f64 does not run
+                                # natively on the chip).  Single-chip
+                                # gmres only.
     matvec_dtype: Optional[str] = None  # e.g. "bfloat16": store the scaled
                                     # operator in low precision (halves SpMV
                                     # HBM traffic; Krylov vectors stay in the

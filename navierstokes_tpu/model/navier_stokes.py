@@ -106,6 +106,11 @@ class NavierStokesSolver:
         # so everything downstream (aggregation build, distributed padding)
         # sees concrete numbers.
         self.cfg = resolve_coarse_defaults(cfg or NSConfig(), mesh.nv)
+        if self.cfg.krylov.cgs2 not in ("xla", "pallas", "pallas_comp"):
+            raise ValueError(
+                f"unknown cgs2 backend {self.cfg.krylov.cgs2!r}; "
+                "expected 'xla', 'pallas' or 'pallas_comp'"
+            )
         dtype = self.cfg.jnp_dtype
         # `disc` lets config sweeps share one discretization (the host-side
         # pattern build dominates setup at 500k+ rows); it must have been
@@ -819,6 +824,8 @@ class NavierStokesSolver:
             matvec_defl, r0, restart=solver_cfg.restart,
             rtol=solver_cfg.rtol, atol=solver_cfg.atol,
             maxiter=solver_cfg.maxiter,
+            cgs2_kernel=solver_cfg.cgs2 != "xla",
+            cgs2_compensated=solver_cfg.cgs2 == "pallas_comp",
         )
         # x = y + U (Q^T (b - T y)): one extra T apply per SOLVE (not per
         # iteration) buys the exact recycled-direction correction.
@@ -885,6 +892,8 @@ class NavierStokesSolver:
             matvec, b_eff, restart=solver_cfg.restart,
             rtol=solver_cfg.rtol, atol=solver_cfg.atol,
             maxiter=solver_cfg.maxiter,
+            cgs2_kernel=solver_cfg.cgs2 != "xla",
+            cgs2_compensated=solver_cfg.cgs2 == "pallas_comp",
         )
 
     # -- Stokes initialization ----------------------------------------------

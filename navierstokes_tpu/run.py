@@ -86,6 +86,9 @@ def main(argv=None):
                         "or orthonormalized {1,x,y,z} (plane mode only)")
     p.add_argument("--neumann-order", type=int, default=None,
                    help="Neumann-series boost of block-Jacobi")
+    p.add_argument("--cgs2", default=None, choices=["xla", "pallas", "pallas_comp"],
+                   help="GMRES orthogonalization backend (pallas = fused "
+                        "3-sweep projection with a dynamic row bound)")
     p.add_argument("--deflation-k", type=int, default=None,
                    help="GCRO recycled-subspace size (harmonic Ritz "
                         "vectors of the constant preconditioned operator; "
@@ -162,6 +165,7 @@ def main(argv=None):
         ("coarse_smooth_omega", args.coarse_smooth_omega),
         ("coarse_basis", args.coarse_basis),
         ("neumann_order", args.neumann_order),
+        ("cgs2", args.cgs2),
         ("deflation_k", args.deflation_k),
         ("deflation_arnoldi", args.deflation_arnoldi),
         ("restart", args.restart),

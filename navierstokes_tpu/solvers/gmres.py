@@ -42,15 +42,30 @@ def gmres(
     rtol: float = 1e-10,
     atol: float = 1e-12,
     maxiter: int = 2000,
+    cgs2_kernel: bool = False,
+    cgs2_tile: int = 4096,
+    cgs2_compensated: bool = False,
 ) -> GMRESResult:
     """NOTE: deliberately not jitted here — `matvec`/`precond` typically close
     over traced operator values, so callers jit the enclosing step function
-    (e.g. the whole Newton iteration) and this trace inlines into it."""
+    (e.g. the whole Newton iteration) and this trace inlines into it.
+
+    cgs2_kernel=True routes the orthogonalization through the fused Pallas
+    projection (`ops.cgs2_pallas.cgs2_project`: 3 sweeps over the live rows
+    only, vs 4 full-buffer XLA GEMVs) when the layout permits (n a
+    `cgs2_tile` multiple — the flagship plane/pretiled layouts guarantee
+    it); silently falls back to the XLA path otherwise (static decision)."""
     n = b.shape[0]
     dtype = b.dtype
     m = restart
     M = precond or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0
+
+    use_kernel = bool(cgs2_kernel) and n % cgs2_tile == 0
+    # Kernel path: pad the basis buffer rows to the f32 sublane tile (8) so
+    # the kernel's dynamic row-block offsets are provably aligned.  The
+    # extra rows stay identically zero (never written: k < m).
+    m1p = -(-(m + 1) // 8) * 8 if use_kernel else m + 1
 
     def pre_residual(x):
         return M(b - matvec(x))
@@ -69,7 +84,7 @@ def gmres(
         r = pre_residual(x)
         beta = jnp.linalg.norm(r)
 
-        V = jnp.zeros((m + 1, n), dtype=dtype)
+        V = jnp.zeros((m1p, n), dtype=dtype)
         V = V.at[0].set(r / jnp.where(beta > 0, beta, 1.0))
         R = jnp.zeros((m, m), dtype=dtype)         # triangularized Hessenberg
         cs = jnp.zeros(m, dtype=dtype)
@@ -106,13 +121,24 @@ def gmres(
             # whose fixed cost exceeds the ~35%/25% HBM-traffic saving at
             # this size.  A Pallas GEMV with a scalar-prefetched row bound
             # is the remaining option if CGS2 ever dominates again.
-            hp = jax.lax.Precision.HIGHEST
-            active = (jnp.arange(m + 1) <= k).astype(dtype)
-            h1 = jnp.matmul(V, w, precision=hp) * active
-            w = w - jnp.matmul(V.T, h1, precision=hp)
-            h2 = jnp.matmul(V, w, precision=hp) * active
-            w = w - jnp.matmul(V.T, h2, precision=hp)
-            h = h1 + h2
+            if use_kernel:
+                # Fused Pallas projection: identical algebra (h = h1 + h2,
+                # both passes against rows 0..k), ~0.38x the HBM traffic —
+                # the "Pallas GEMV with a scalar-prefetched row bound"
+                # promised above, landed as ops.cgs2_pallas.
+                from navierstokes_tpu.ops.cgs2_pallas import cgs2_project
+
+                w, hf = cgs2_project(V, w, k, tile=cgs2_tile,
+                                     compensated=cgs2_compensated)
+                h = hf[: m + 1]
+            else:
+                hp = jax.lax.Precision.HIGHEST
+                active = (jnp.arange(m + 1) <= k).astype(dtype)
+                h1 = jnp.matmul(V, w, precision=hp) * active
+                w = w - jnp.matmul(V.T, h1, precision=hp)
+                h2 = jnp.matmul(V, w, precision=hp) * active
+                w = w - jnp.matmul(V.T, h2, precision=hp)
+                h = h1 + h2
             hk1 = jnp.linalg.norm(w)
             # One dynamic-update-slice on the loop-carried buffer; written
             # unconditionally (on breakdown the row is never read: k does
