@@ -11,7 +11,7 @@ channel meshes, since `mat/` is stripped from the reference repo).
 
 Usage:
     python -m navierstokes_tpu.bench.spmv_bench [--matrices 1,2,3] \
-        [--kernel spmv|spm2v|2spmv] [--dtype float32]
+        [--kernel spmv|spm2v|spm3v|spm4v|2spmv] [--dtype float32]
 """
 
 from __future__ import annotations
@@ -70,8 +70,9 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str, disc=None):
         row_ids = jnp.asarray(op.row_ids())
         bcsr_idx = jnp.asarray(op.indices)
 
-    k = {"spmv": 1, "2spmv": 2, "spm2v": 2}[kernel]
-    label = {"spmv": "SpMV", "2spmv": "2SpMV", "spm2v": "SpM2V"}[kernel]
+    k = {"spmv": 1, "2spmv": 2, "spm2v": 2, "spm3v": 3, "spm4v": 4}[kernel]
+    label = {"spmv": "SpMV", "2spmv": "2SpMV", "spm2v": "SpM2V",
+             "spm3v": "SpM3V", "spm4v": "SpM4V"}[kernel]
 
     def powk(stepper):
         if kernel == "2spmv":
@@ -158,39 +159,42 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str, disc=None):
              {"x": lambda v: to_planes(v, nb, nbp),
               "post": lambda v: from_planes(v, nb, nbp)}),
         ]
-        if kernel == "spm2v":
-            # The fused single-sweep A^2x (`mpk/SpM2V.cpp` analog): reads A
-            # (T+2h)/T times instead of 2 — wins iff the bandwidth h is
-            # small against the tile (the reference's cache-size crossover,
-            # `mpk/log/log_SPM2V.txt`, re-expressed in VMEM terms).
+        if kernel in ("spm2v", "spm3v", "spm4v"):
+            # The fused single-sweep A^p x (`mpk/SpM2V.cpp` /
+            # `mpk/SpMVmulti0.cpp:132-155,191-221` analogs): reads A
+            # (T + 2(p-1)h)/T times instead of p — wins iff the bandwidth
+            # h is small against the tile (the reference's cache-size
+            # crossover, `mpk/log/log_SPM2V.txt`, re-expressed in VMEM).
             from navierstokes_tpu.ops.mpk_pallas import (
                 overlap_ratio,
                 pretile_dia_overlap,
-                spm2v_dia_pallas,
+                spmpv_dia_pallas,
             )
 
-            ratio = overlap_ratio(disc.ndof, offsets, tile=tile)
+            ratio = overlap_ratio(disc.ndof, offsets, tile=tile, power=k)
             h = max(max(abs(d) for d in offsets), 1)
-            e_pad = -(-(tile + 2 * h) // 128) * 128
+            H = (k - 1) * h
+            e_pad = -(-(tile + 2 * H) // 128) * 128
             ov_bytes = (-(-disc.ndof // tile)) * len(offsets) * e_pad * 4
             if ov_bytes <= 1.5e9:
                 dov = pretile_dia_overlap(dia_data, disc.ndof, tile=tile,
-                                          offsets=offsets)
+                                          halo=H)
                 variants += [
                     (f"DIA Pallas FUSED t={tile} "
-                     f"({ratio:.2f} passes over A vs 2)",
-                     lambda v, d: spm2v_dia_pallas(offsets, d, v, n=disc.ndof,
+                     f"({ratio:.2f} passes over A vs {k})",
+                     lambda v, d: spmpv_dia_pallas(offsets, d, v,
+                                                   n=disc.ndof, power=k,
                                                    tile=tile),
                      (dov,)),
                 ]
             else:
                 # no silent caps: at large bandwidth the overlap-pretiled
-                # operator explodes ((T+2h)/T passes stored explicitly)
+                # operator explodes ((T+2(p-1)h)/T passes stored explicitly)
                 print(
-                    f"SpM2V DIA Pallas FUSED skipped: overlap-pretiled "
+                    f"{label} DIA Pallas FUSED skipped: overlap-pretiled "
                     f"operator would be {ov_bytes / 1e9:.1f} GB "
-                    f"({ratio:.2f} passes over A vs 2 — fusion cannot win "
-                    f"at this bandwidth/tile)",
+                    f"({ratio:.2f} passes over A vs {k} — fusion cannot "
+                    f"win at this bandwidth/tile)",
                     flush=True,
                 )
 
@@ -237,7 +241,7 @@ def main(argv=None):
     p.add_argument("--matrices", default="1,2,3,4,5,6",
                    help="comma-separated matrix ids 1-10")
     p.add_argument("--kernel", default="spmv",
-                   help="comma-separated subset of spmv,2spmv,spm2v; all "
+                   help="comma-separated subset of spmv,2spmv,spm2v,spm3v,spm4v; all "
                         "kernels at one size share the discretization "
                         "(host pattern build dominates setup at 500k+ rows)")
     p.add_argument("--dtype", default="float32")
@@ -247,7 +251,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     kernels = args.kernel.split(",")
     for kn in kernels:
-        if kn not in ("spmv", "2spmv", "spm2v"):
+        if kn not in ("spmv", "2spmv", "spm2v", "spm3v", "spm4v"):
             p.error(f"unknown kernel {kn}")
     for mid in (int(t) for t in args.matrices.split(",")):
         disc = None

@@ -1,9 +1,10 @@
-"""Fused single-sweep A^2 x Pallas kernel (ghost-overlap tiling).
+"""Fused single-sweep A^p x Pallas kernels (ghost-overlap tiling), p = 2..4.
 
-The TPU re-expression of the reference's fused SpM2V
-(`mpk/SpM2V.cpp:80-801`): there the per-nonzero `ptrowend1` dependency
-pointers (`Generate1stlayer`, `mpk/SpM2V.cpp:5-26`) let one sweep over A
-compute z = A(Ax) by producing each needed row of y = Ax on first touch.
+The TPU re-expression of the reference's fused SpM2V/SpM3V/SpM4V
+(`mpk/SpM2V.cpp:80-801`, `mpk/SpMVmulti0.cpp:132-155,191-221`): there the
+per-nonzero `ptrowend1` dependency pointers (`Generate1stlayer`,
+`mpk/SpM2V.cpp:5-26`) let one sweep over A compute z = A(Ax) by producing
+each needed row of y = Ax on first touch.
 
 On TPU the cache-blocking analog is ghost-overlap tiling over the scalar-DIA
 layout: for each row tile [iT, iT+T) the kernel
@@ -34,10 +35,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def overlap_ratio(n: int, offsets, *, tile: int = 8192) -> float:
-    """HBM passes over A for fused A^2x: (T + 2h)/T, vs 2.0 for chained."""
+def overlap_ratio(n: int, offsets, *, tile: int = 8192,
+                  power: int = 2) -> float:
+    """HBM passes over A for fused A^p x: (T + 2(p-1)h)/T, vs p chained."""
     h = max(max(abs(d) for d in offsets), 1)
-    return (tile + 2 * h) / tile
+    return (tile + 2 * (power - 1) * h) / tile
 
 
 def pretile_dia_overlap(data, n, *, tile: int = 8192, halo: int = None,
@@ -64,9 +66,19 @@ def pretile_dia_overlap(data, n, *, tile: int = 8192, halo: int = None,
     return jax.vmap(one)(jnp.arange(grid))
 
 
-def _spm2v_kernel(offsets, tile, halo, e_pad, win, granule, xp_ref, data_ref,
-                  out_ref, xwin, sem):
-    """One grid step: y on [iT-h, iT+T+h) in registers, then z on [iT, iT+T).
+def _spmpv_kernel(offsets, power, tile, h, H, e_pad, win, granule, xp_ref,
+                  data_ref, out_ref, xwin, sem):
+    """One grid step of z = A^p x: intermediates y_j = A^j x live entirely
+    in registers/VMEM values (never HBM), each valid on the shrinking range
+    [iT - (p-j)h, iT + T + (p-j)h).
+
+    Frames: the data block covers rows [iT - H, iT + T + H), H = (p-1)h;
+    the x window starts at x[iT - ph] (= iT - H - h).  Sweep 1 produces y_1
+    on the full data frame [0, e_pad); sweeps 2..p-1 read the previous
+    intermediate through an h-padded buffer so every slice offset h + d is
+    static and in range; the final sweep emits only the tile's own rows.
+    Entries outside a sweep's valid range are garbage built from zero data
+    (never NaN) and are never read by any later valid position.
 
     Same double-buffered flat-1-D x window discipline as
     `pallas_dia._dia_kernel_windowed` (Mosaic: matching 1-D DMA tilings,
@@ -98,62 +110,82 @@ def _spm2v_kernel(offsets, tile, halo, e_pad, win, granule, xp_ref, data_ref,
     # CPU/interpret validation path).
     acc_dtype = jnp.promote_types(out_ref.dtype, jnp.float32)
 
-    # Sweep 1: y_ext[j] = y[iT - h + j], j in [0, e_pad) — entries beyond
-    # tile + 2h are garbage (rows past the halo) but are never read by
-    # sweep 2.  x[iT - h + j + d] sits at xwin position j + (h + d) (the
-    # window starts at x[iT - 2h]); h + d >= 0 for every diagonal.
+    # Sweep 1: y[j] = (A x)[iT - H + j], j in [0, e_pad).  x[iT - H + j + d]
+    # sits at xwin position j + (h + d) (the window starts at x[iT - H - h]);
+    # h + d >= 0 for every diagonal.
     acc_y = jnp.zeros((e_pad,), dtype=acc_dtype)
     for k, d in enumerate(offsets):
-        q, r = divmod(halo + d, granule)
+        q, r = divmod(h + d, granule)
         seg = xwin[pl.ds(base + granule * q, e_pad + granule)]
         xs = jax.lax.slice_in_dim(seg, r, r + e_pad, axis=0)
         acc_y = acc_y + (
             data_ref[0, k, :].astype(acc_dtype) * xs.astype(acc_dtype)
         )
 
-    # Sweep 2: z[t] = sum_k A[k, iT + t] * y[iT + t + d_k]
-    #        = sum_k data[k, h + t] * y_ext[t + h + d_k],  t in [0, tile).
-    # Both slices are static — pure vector rotates, no HBM traffic.
+    # Sweeps 2..p-1: y_j[u] = sum_k data[k, u] * y_{j-1}[u + d_k] on the
+    # data frame; the h-pad keeps every static slice [h+d, h+d+e_pad) in
+    # bounds.  Pure vector rotates — no HBM traffic.
+    for _ in range(power - 2):
+        ybuf = jnp.pad(acc_y, (h, h))
+        acc_y = jnp.zeros((e_pad,), dtype=acc_dtype)
+        for k, d in enumerate(offsets):
+            ys = jax.lax.slice_in_dim(ybuf, h + d, h + d + e_pad, axis=0)
+            acc_y = acc_y + data_ref[0, k, :].astype(acc_dtype) * ys
+
+    # Final sweep: z[t] = sum_k data[k, H + t] * y_{p-1}[H + t + d_k],
+    # t in [0, tile).
     acc_z = jnp.zeros((tile,), dtype=acc_dtype)
+    ybuf = jnp.pad(acc_y, (h, h)) if H + h + tile > e_pad else None
     for k, d in enumerate(offsets):
         row = data_ref[0, k, :].astype(acc_dtype)
-        center = jax.lax.slice_in_dim(row, halo, halo + tile, axis=0)
-        ys = jax.lax.slice_in_dim(acc_y, halo + d, halo + d + tile, axis=0)
+        center = jax.lax.slice_in_dim(row, H, H + tile, axis=0)
+        if ybuf is not None:
+            ys = jax.lax.slice_in_dim(
+                ybuf, h + H + d, h + H + d + tile, axis=0
+            )
+        else:
+            ys = jax.lax.slice_in_dim(acc_y, H + d, H + d + tile, axis=0)
         acc_z = acc_z + center * ys
     out_ref[...] = acc_z.astype(out_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "n", "tile", "interpret")
+    jax.jit, static_argnames=("offsets", "n", "tile", "power", "interpret")
 )
-def spm2v_dia_pallas(offsets, data_overlap, x, *, n, tile: int = 8192,
-                     interpret=None):
-    """z = A^2 x in ONE sweep over the overlap-pretiled operator.
+def spmpv_dia_pallas(offsets, data_overlap, x, *, n, power: int,
+                     tile: int = 8192, interpret=None):
+    """z = A^power x in ONE sweep over the overlap-pretiled operator,
+    power in {2, 3, 4} (the reference's SpM2V/SpM3V/SpM4V family).
 
     offsets: static tuple (scalar DIA); data_overlap: (grid, K, E) from
-    `pretile_dia_overlap` built with the SAME `tile`; x: (n,). The
-    intermediate y never touches HBM.
+    `pretile_dia_overlap` built with the SAME `tile` and
+    halo = (power-1) * max|offset|; x: (n,).  No intermediate ever touches
+    HBM: one read of the overlap-tiled A ((T + 2(power-1)h)/T passes of the
+    row-major bytes) + one read of x + one write of z.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    assert power >= 2, "use spmv_dia_pallas for power=1"
     grid, k, e_pad = data_overlap.shape
     h = max(max(abs(d) for d in offsets), 1)
+    H = (power - 1) * h
     assert k == len(offsets)
     assert grid == -(-n // tile), (grid, n, tile)
-    assert e_pad == -(-(tile + 2 * h) // 128) * 128, (e_pad, tile, h)
-    e = tile + 2 * h
+    assert e_pad == -(-(tile + 2 * H) // 128) * 128, (e_pad, tile, H)
     n_pad = grid * tile
 
-    del e
     granule = max(4096 // x.dtype.itemsize, 128)
-    # Aligned-load overshoot room: dynamic starts are floor((h+d)/granule)
-    # granules (<= 2h), reads of e_pad + granule elements.
+    # Sweep 1 reads xwin positions up to e_pad - 1 + 2h, from dynamic
+    # starts of floor((h+d)/granule) granules + e_pad + granule reads.
     win = 2 * h + e_pad + granule
     win = -(-win // granule) * granule
-    # Window for tile i starts at x[iT - 2h] -> xp[iT] with a 2h left pad.
-    xp = jnp.pad(x, (2 * h, max(win + (grid - 1) * tile - (n + 2 * h), 0)))
+    # Window for tile i starts at x[iT - H - h] -> xp[iT] with an (H + h)
+    # left pad.
+    lp = H + h
+    xp = jnp.pad(x, (lp, max(win + (grid - 1) * tile - (n + lp), 0)))
     out = pl.pallas_call(
-        functools.partial(_spm2v_kernel, offsets, tile, h, e_pad, win, granule),
+        functools.partial(_spmpv_kernel, offsets, power, tile, h, H, e_pad,
+                          win, granule),
         out_shape=jax.ShapeDtypeStruct((n_pad,), x.dtype),
         grid=(grid,),
         in_specs=[
@@ -170,3 +202,11 @@ def spm2v_dia_pallas(offsets, data_overlap, x, *, n, tile: int = 8192,
         interpret=interpret,
     )(xp, data_overlap)
     return out[:n]
+
+
+def spm2v_dia_pallas(offsets, data_overlap, x, *, n, tile: int = 8192,
+                     interpret=None):
+    """z = A^2 x in one sweep (the power=2 case of `spmpv_dia_pallas`,
+    kept as the named entry point the benches/tests use)."""
+    return spmpv_dia_pallas(offsets, data_overlap, x, n=n, power=2,
+                            tile=tile, interpret=interpret)
