@@ -42,6 +42,10 @@ def main(argv=None):
     p.add_argument("--restart", type=int, default=30)
     p.add_argument("--spmv", default=None,
                    help="override SolverConfig.spmv (e.g. plane)")
+    p.add_argument("--cgs2", default="xla",
+                   choices=["xla", "pallas", "pallas_comp"],
+                   help="orthogonalization backend: adds the fused-kernel "
+                        "component row and routes the end-to-end slope")
     p.add_argument("--disc-cache", default=None)
     p.add_argument("--skip-slope", action="store_true",
                    help="components only (each slope pair is 2 more big "
@@ -63,7 +67,7 @@ def main(argv=None):
     krylov = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
                           neumann_order=0, preconditioner="two_level",
                           coarse_agg=agg, coarse_dense_max=16384,
-                          restart=args.restart,
+                          restart=args.restart, cgs2=args.cgs2,
                           **({"spmv": args.spmv} if args.spmv
                              else {}))
     cfg = NSConfig(
@@ -146,11 +150,36 @@ def main(argv=None):
         return w - Vb.T @ h2
 
     timed(f"CGS2 vs ({m + 1},n) basis (k={k})", cgs2, b, operands=(V,))
+
+    cgs2_key = f"CGS2 vs ({m + 1},n) basis (k={k})"
+    if args.cgs2 != "xla":
+        # The fused-kernel projection at the SAME half-full bound: pad the
+        # basis rows to the sublane multiple the kernel requires and zero
+        # the dead rows (the gmres buffer invariant).
+        from navierstokes_tpu.ops.cgs2_pallas import cgs2_project
+
+        if n_vec % 4096 == 0:
+            m1p = -(-(m + 1) // 8) * 8
+            Vp = jnp.zeros((m1p, n_vec), jnp.float32).at[: k + 1].set(
+                V[: k + 1]
+            )
+            comp_flag = args.cgs2 == "pallas_comp"
+
+            def cgs2_kernel(w, Vb):
+                return cgs2_project(Vb, w, k, tile=4096,
+                                    compensated=comp_flag)[0]
+
+            cgs2_key = f"CGS2 fused pallas ({args.cgs2}, k={k})"
+            timed(cgs2_key, cgs2_kernel, b, operands=(Vp,))
+            del Vp
+        else:
+            log(f"  CGS2 fused kernel skipped: n_vec={n_vec} not a 4096 "
+                "multiple (gmres falls back to XLA here too)")
+            args.cgs2 = "xla"
     del V
 
     comp = dict(rows)
-    est = (comp["matvec = minv(A x)"]
-           + comp[f"CGS2 vs ({m + 1},n) basis (k={k})"])
+    est = (comp["matvec = minv(A x)"] + comp[cgs2_key])
     log(f"  matvec + CGS2 estimate per iteration: {est * 1e6:9.1f} us")
 
     if args.skip_slope:

@@ -64,6 +64,17 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
         self.device_mesh = DeviceMesh(np.array(devices), (axis,))
         self._epart = None
         super().__init__(mesh, cfg)
+        if self.cfg.krylov.cgs2 != "xla":
+            # The fused projection kernel is not wired into the sharded
+            # gmres calls (per-shard V windows would need their own halo
+            # bookkeeping); degrade loudly rather than silently ignore.
+            import warnings
+
+            warnings.warn(
+                f"cgs2={self.cfg.krylov.cgs2!r} is single-chip only; the "
+                "distributed solver uses the XLA orthogonalization",
+                stacklevel=2,
+            )
         # Sharded-setup element arrays ride the consts pytree into the
         # jitted step/stokes functions (never closure captures).
         self._ensure_epart()

@@ -80,7 +80,7 @@ def gmres(
         return (~converged) & (~stalled) & (iters < maxiter) & (resnorm > 0.0)
 
     def outer_body(state):
-        x, iters, _, _, _ = state
+        x, iters, prev_resnorm, _, _ = state
         r = pre_residual(x)
         beta = jnp.linalg.norm(r)
 
@@ -91,13 +91,13 @@ def gmres(
         sn = jnp.zeros(m, dtype=dtype)
         g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
 
-        # Inner state: (V, R, cs, sn, g, k, done)
+        # Inner state: (V, R, cs, sn, g, k, done, brk)
         def inner_cond(istate):
-            _, _, _, _, _, k, done = istate
+            _, _, _, _, _, k, done, _ = istate
             return (k < m) & (~done)
 
         def inner_body(istate):
-            V, R, cs, sn, g, k, _ = istate
+            V, R, cs, sn, g, k, _, _ = istate
             w = M(matvec(V[k]))
 
             # CGS2 (classical Gram-Schmidt, twice) against v_0..v_k: each
@@ -176,11 +176,21 @@ def gmres(
             # New Givens zeroing the subdiagonal entry hk1.
             a_ = c[k]
             denom = jnp.sqrt(a_ * a_ + hk1 * hk1)
-            # Hard breakdown: the new Hessenberg column vanished entirely
-            # (singular/defective operator).  State is written anyway (those
-            # slots are never read once k stops advancing) but k must NOT
-            # advance — a singular R would poison x with NaNs.
-            breakdown = denom <= jnp.asarray(1e-300, dtype)
+            # Hard breakdown: the prospective R[k,k] is numerically zero
+            # RELATIVE to the new Hessenberg column (rotations are
+            # orthogonal, so ||(h, hk1)|| is the rotation-invariant column
+            # scale).  This is the numerically-singular-H case (invariant
+            # Krylov subspace that does not contain b, e.g. a singular
+            # operator): the rotation built from the O(eps) remainder would
+            # report a ~0 least-squares residual while R is singular and x
+            # garbage.  An absolute 1e-300 test provably misses it — a
+            # rank-1 64x64 system measured denom=1.4e-17 against colnorm=1
+            # and "converged" at resnorm 2.8e-14 with true residual 63.5.
+            # State is written anyway (those slots are never read once k
+            # stops advancing) but k must NOT advance.
+            colnorm = jnp.sqrt(jnp.sum(h * h) + hk1 * hk1)
+            eps4 = jnp.asarray(4.0, dtype) * jnp.finfo(dtype).eps
+            breakdown = denom <= colnorm * eps4
             c_new = jnp.where(breakdown, 1.0, a_ / denom)
             s_new = jnp.where(breakdown, 0.0, hk1 / denom)
             cs = cs.at[k].set(c_new)
@@ -192,12 +202,14 @@ def gmres(
             res_est = jnp.abs(g[k + 1])
             # Happy breakdown (hk1 == 0 but column useful) still advances once.
             done = (res_est <= tol) | (hk1 <= 1e-300) | breakdown
-            return (V, R, cs, sn, g, jnp.where(breakdown, k, k + 1), done)
+            return (V, R, cs, sn, g, jnp.where(breakdown, k, k + 1), done,
+                    breakdown)
 
-        V, R, cs, sn, g, k_end, _ = jax.lax.while_loop(
+        V, R, cs, sn, g, k_end, _, brk = jax.lax.while_loop(
             inner_cond,
             inner_body,
-            (V, R, cs, sn, g, jnp.int32(0), beta <= tol),
+            (V, R, cs, sn, g, jnp.int32(0), beta <= tol,
+             jnp.asarray(False)),
         )
 
         # Solve R[0:k_end, 0:k_end] y = g[0:k_end] on the padded system:
@@ -215,12 +227,21 @@ def gmres(
         x_new = x + dx
 
         resnorm = jnp.abs(g[k_end])
+        # Stalled: the cycle made no progress at all (immediate breakdown),
+        # or it hit a hard breakdown AND shrank the residual by <1% — the
+        # invariant-subspace case recurs identically every restart, so
+        # cycling to maxiter would only burn matvecs.  A breakdown cycle
+        # that still made progress restarts normally (preconditioned solves
+        # can recover from an isolated rank deficiency).
+        stalled = (k_end == 0) | (
+            brk & (resnorm >= 0.99 * prev_resnorm)
+        )
         return (
             x_new,
             iters + k_end,
             resnorm,
             resnorm <= tol,
-            k_end == 0,  # stalled: inner loop made no progress (breakdown)
+            stalled,
         )
 
     init = (x0, jnp.int32(0), beta0, beta0 <= tol, jnp.asarray(False))

@@ -489,3 +489,40 @@ def test_multilevel_coarse_smooth_cycles():
         np.linalg.norm(np.asarray(u_single))
     )
     assert err < 1e-8, f"multilevel multi-chip vs single-chip error {err}"
+
+
+def test_distributed_cgs2_degrades_with_warning():
+    """cgs2='pallas' is single-chip only: the distributed solver must warn
+    and fall back to the XLA orthogonalization (never engage the kernel,
+    whose per-shard V windows are not halo-aware), still converging to the
+    single-chip answer."""
+    import dataclasses
+    import warnings
+
+    kr = SolverConfig(rtol=1e-12, atol=1e-13, maxiter=4000,
+                      preconditioner="two_level", coarse_agg=4,
+                      spmv="plane", cgs2="pallas")
+    cfg = NSConfig(
+        dt=0.01, t_final=0.01, reynolds=100.0, delta=0.1, dtype="float64",
+        krylov=kr, stokes_krylov=dataclasses.replace(kr, rtol=1e-13),
+    )
+    mesh = channel_mesh(12, 2, 2, length=6.0)
+    u_single = NavierStokesSolver(
+        mesh, dataclasses.replace(
+            cfg, krylov=dataclasses.replace(kr, cgs2="xla"),
+            stokes_krylov=dataclasses.replace(kr, rtol=1e-13, cgs2="xla"),
+        )
+    ).run(1, monitor=False)
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        dist, _ = DistributedNavierStokesSolver.from_mesh(
+            mesh, cfg, devices=jax.devices()[:N_DEV]
+        )
+    assert any("cgs2" in str(w.message) for w in rec), \
+        [str(w.message) for w in rec]
+    u_dist = dist.run(1, monitor=False)
+    err = np.linalg.norm(np.asarray(u_dist) - np.asarray(u_single)) / (
+        np.linalg.norm(np.asarray(u_single))
+    )
+    assert err < 1e-8, f"distributed cgs2-degrade vs single-chip error {err}"

@@ -200,3 +200,30 @@ def test_ilu_transpose_solve(stokes_system):
     np.testing.assert_allclose(
         ilu.solve_host(r), np.linalg.solve(L @ U, r), rtol=1e-10, atol=1e-10
     )
+
+
+def test_gmres_singular_operator_no_false_convergence():
+    """A numerically singular Hessenberg (invariant Krylov subspace that
+    does not contain b) must NOT report convergence.  Regression: the old
+    absolute 1e-300 breakdown test missed denom=1.4e-17 on a rank-1 64x64
+    system and declared resnorm=2.8e-14 while the true residual was 63.5;
+    the relative R[k,k]-vs-column-norm test catches it, the solver exits
+    via the breakdown stall (bounded, finite x, converged=False)."""
+    n = 64
+    A = np.zeros((n, n))
+    A[0, 0] = 1.0  # rank-1: range(A) = span{e0}, b = ones not reachable
+    b = jnp.ones(n, jnp.float64)
+
+    def matvec(x):
+        return jnp.asarray(A) @ x
+
+    res = gmres(matvec, b, rtol=1e-10, atol=1e-12, maxiter=50, restart=10)
+    x = np.asarray(res.x)
+    assert not bool(np.asarray(res.converged))
+    assert np.all(np.isfinite(x))
+    # The reported residual must be honest: no smaller than the true
+    # least-squares optimum sqrt(63) over any Krylov subspace.
+    assert float(res.resnorm) > 1.0
+    # And the stall guard must have bounded the work (not cycled to
+    # maxiter one breakdown-iteration at a time).
+    assert int(res.iters) < 10
