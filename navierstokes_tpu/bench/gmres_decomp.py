@@ -171,7 +171,16 @@ def main(argv=None):
 
             cgs2_key = f"CGS2 fused pallas ({args.cgs2}, k={k})"
             timed(cgs2_key, cgs2_kernel, b, operands=(Vp,))
-            del Vp
+            # Tiled (grid, m1p, tile) basis layout — what gmres actually
+            # keeps when the kernel is on: every window DMA contiguous.
+            # (jnp arrays are always dense standard layout — the eager
+            # swapaxes materializes the tiled buffer.)
+            Vt = jnp.swapaxes(
+                Vp.reshape(m1p, n_vec // 4096, 4096), 0, 1
+            )
+            cgs2_key = f"CGS2 fused pallas tiled ({args.cgs2}, k={k})"
+            timed(cgs2_key, cgs2_kernel, b, operands=(Vt,))
+            del Vp, Vt
         else:
             log(f"  CGS2 fused kernel skipped: n_vec={n_vec} not a 4096 "
                 "multiple (gmres falls back to XLA here too)")

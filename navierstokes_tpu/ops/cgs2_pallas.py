@@ -54,9 +54,19 @@ def _masked(Vw, k, acc):
 
 
 def _dma_window(V_hbm, vwin, sem, i, slot, j, tile, m1p):
-    """Copy row-block j of tile i's V window into scratch slot `slot`."""
+    """Copy row-block j of tile i's V window into scratch slot `slot`.
+
+    V_hbm is either the row-major (m1p, n) buffer — each (R, tile) window
+    is R STRIDED 16 KB segments (measured ~490 GB/s effective at m6) — or
+    the tiled (grid, m1p, tile) layout, where the window is one contiguous
+    R*tile*4-byte block (the operator-pretiling trick applied to the
+    Krylov basis; solvers.gmres keeps V tiled when the kernel is on)."""
+    if len(V_hbm.shape) == 3:
+        src = V_hbm.at[i, pl.ds(j * R, R), :]
+    else:
+        src = V_hbm.at[pl.ds(j * R, R), pl.ds(i * tile, tile)]
     return pltpu.make_async_copy(
-        V_hbm.at[pl.ds(j * R, R), pl.ds(i * tile, tile)],
+        src,
         vwin.at[pl.ds(pl.multiple_of(slot * m1p + j * R, R), R), :],
         sem.at[slot, j],
     )
@@ -155,10 +165,15 @@ def _s3_kernel(tile, m1p, rbtot, k_ref, V_hbm, w_ref, h2_ref,
 def _common(V, tile, interpret):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    m1p, n = V.shape
+    if V.ndim == 3:                       # tiled (grid, m1p, tile) layout
+        grid, m1p, tile_v = V.shape
+        assert tile_v == tile, f"tiled V has tile {tile_v}, expected {tile}"
+        n = grid * tile
+    else:
+        m1p, n = V.shape
+        assert n % tile == 0, f"n={n} must be a tile multiple (pad the layout)"
+        grid = n // tile
     assert m1p % R == 0, f"V rows {m1p} must be padded to a multiple of {R}"
-    assert n % tile == 0, f"n={n} must be a tile multiple (pad the layout)"
-    grid = n // tile
     rbtot = m1p // R
     scratch = [
         pltpu.VMEM((2 * m1p, tile), V.dtype),
@@ -174,10 +189,14 @@ def cgs2_project(V, w, k, *, tile: int = 4096, interpret=None,
                  compensated: bool = False):
     """One full CGS2 projection against rows 0..k of V.
 
-    V: (m1p, n) row-major basis (zero rows beyond k); w: (n,); k: traced
-    int32 row bound.  Returns (w_out, h) with h = h1 + h2 of length m1p
-    (zero beyond row k) — algebraically identical to the four-GEMV XLA
-    path in solvers.gmres, at ~0.38x its HBM traffic.
+    V: the basis with zero rows beyond k, either row-major (m1p, n) or
+    tiled (n//tile, m1p, tile) — the tiled layout makes every window DMA
+    one contiguous block and is what solvers.gmres keeps when the kernel
+    is enabled (row-major windows measured ~490 GB/s effective vs ~680
+    streaming).  w: (n,); k: traced int32 row bound.  Returns (w_out, h)
+    with h = h1 + h2 of length m1p (zero beyond row k) — algebraically
+    identical to the four-GEMV XLA path in solvers.gmres, at ~0.38x its
+    HBM traffic.
     """
     interpret, m1p, n, grid, rbtot, scratch = _common(V, tile, interpret)
     kk = jnp.asarray(k, jnp.int32).reshape(1)

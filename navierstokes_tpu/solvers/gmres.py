@@ -64,8 +64,14 @@ def gmres(
     use_kernel = bool(cgs2_kernel) and n % cgs2_tile == 0
     # Kernel path: pad the basis buffer rows to the f32 sublane tile (8) so
     # the kernel's dynamic row-block offsets are provably aligned.  The
-    # extra rows stay identically zero (never written: k < m).
+    # extra rows stay identically zero (never written: k < m).  The buffer
+    # is kept TILED (grid, m1p, tile) so each kernel window DMA is one
+    # contiguous block (row-major windows are R strided segments, measured
+    # ~490 GB/s effective vs ~680 streaming — benchlogs/
+    # gmres_decomposition.txt round 4); row reads/writes against the tiled
+    # buffer are tiny (one (n,)-vector each) dynamic slices on axis 1.
     m1p = -(-(m + 1) // 8) * 8 if use_kernel else m + 1
+    vgrid = n // cgs2_tile
 
     def pre_residual(x):
         return M(b - matvec(x))
@@ -84,8 +90,13 @@ def gmres(
         r = pre_residual(x)
         beta = jnp.linalg.norm(r)
 
-        V = jnp.zeros((m1p, n), dtype=dtype)
-        V = V.at[0].set(r / jnp.where(beta > 0, beta, 1.0))
+        v0 = r / jnp.where(beta > 0, beta, 1.0)
+        if use_kernel:
+            V = jnp.zeros((vgrid, m1p, cgs2_tile), dtype=dtype)
+            V = V.at[:, 0, :].set(v0.reshape(vgrid, cgs2_tile))
+        else:
+            V = jnp.zeros((m1p, n), dtype=dtype)
+            V = V.at[0].set(v0)
         R = jnp.zeros((m, m), dtype=dtype)         # triangularized Hessenberg
         cs = jnp.zeros(m, dtype=dtype)
         sn = jnp.zeros(m, dtype=dtype)
@@ -98,7 +109,14 @@ def gmres(
 
         def inner_body(istate):
             V, R, cs, sn, g, k, _, _ = istate
-            w = M(matvec(V[k]))
+            if use_kernel:
+                z = jnp.int32(0)
+                vk = jax.lax.dynamic_slice(
+                    V, (z, k, z), (vgrid, 1, cgs2_tile)
+                ).reshape(n)
+            else:
+                vk = V[k]
+            w = M(matvec(vk))
 
             # CGS2 (classical Gram-Schmidt, twice) against v_0..v_k: each
             # pass is two fused GEMVs over the whole basis instead of a
@@ -146,7 +164,14 @@ def gmres(
             # rebuilds V) so XLA updates V in place — a conditional
             # jnp.where(keep, V_next, V) would force a full (m+1, n) copy
             # plus a 3-buffer select every iteration.
-            V = V.at[k + 1].set(w / jnp.where(hk1 > 0, hk1, 1.0))
+            vnew = w / jnp.where(hk1 > 0, hk1, 1.0)
+            if use_kernel:
+                z = jnp.int32(0)
+                V = jax.lax.dynamic_update_slice(
+                    V, vnew.reshape(vgrid, 1, cgs2_tile), (z, k + 1, z)
+                )
+            else:
+                V = V.at[k + 1].set(vnew)
 
             # Apply accumulated rotations 0..k-1 to the new column h[0..k].
             # The pairwise updates form the first-order linear recurrence
@@ -223,7 +248,13 @@ def gmres(
         )
         gp = jnp.where(active, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(Rp, gp, lower=False)
-        dx = jnp.matmul(V[:m].T, y, precision=jax.lax.Precision.HIGHEST)
+        hp = jax.lax.Precision.HIGHEST
+        if use_kernel:
+            dx = jnp.einsum(
+                "gmt,m->gt", V[:, :m, :], y, precision=hp
+            ).reshape(n)
+        else:
+            dx = jnp.matmul(V[:m].T, y, precision=hp)
         x_new = x + dx
 
         resnorm = jnp.abs(g[k_end])

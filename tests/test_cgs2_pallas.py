@@ -160,3 +160,26 @@ def test_model_rejects_unknown_cgs2():
     cfg = NSConfig(krylov=SolverConfig(cgs2="Pallas"))
     with pytest.raises(ValueError, match="cgs2"):
         NavierStokesSolver(channel_mesh(3, 2, 2), cfg)
+
+
+@pytest.mark.parametrize("k", [0, 7, 8, 30])
+def test_cgs2_project_tiled_matches_rowmajor(k):
+    """The tiled (grid, m1p, tile) V layout (contiguous window DMAs — the
+    layout solvers.gmres keeps when the kernel is on) must produce exactly
+    the row-major kernel's output."""
+    m1p, n, tile = 32, 2048, 512
+    rng = np.random.default_rng(11)
+    V = np.zeros((m1p, n))
+    V[: k + 1] = np.linalg.qr(rng.standard_normal((n, k + 1)))[0].T
+    w = rng.standard_normal(n)
+    Vt = V.reshape(m1p, n // tile, tile).swapaxes(0, 1)   # (grid, m1p, tile)
+    w2r, hr = cgs2_project(jnp.asarray(V), jnp.asarray(w), k, tile=tile,
+                           interpret=True)
+    w2t, ht = cgs2_project(jnp.asarray(np.ascontiguousarray(Vt)),
+                           jnp.asarray(w), k, tile=tile, interpret=True)
+    np.testing.assert_array_equal(np.asarray(w2t), np.asarray(w2r))
+    np.testing.assert_array_equal(np.asarray(ht), np.asarray(hr))
+    w2_ref, h_ref = _reference(V, w, k)
+    np.testing.assert_allclose(np.asarray(w2t), w2_ref, rtol=1e-12,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ht), h_ref, rtol=1e-12, atol=1e-12)
