@@ -820,9 +820,20 @@ class NavierStokesSolver:
                 Q.T, jnp.matmul(Q, w, precision=hp), precision=hp
             )
 
+        # Tolerance semantics: the inner residual IS the true preconditioned
+        # residual (see module docstring), so the convergence target must be
+        # rtol * ||b_eff|| — the UNdeflated norm, exactly what the plain solve
+        # uses.  Normalizing against ||r0|| = ||(I-QQ^T) b_eff|| instead is a
+        # trap: Q is built to capture precisely the dominant smooth content
+        # of b, so ||r0|| can be orders of magnitude below ||b_eff|| and the
+        # effective tolerance becomes brutally strict (measured: early m8
+        # transient steps ran to maxiter, mean lin 515 vs 113 baseline).
         res = gmres(
             matvec_defl, r0, restart=solver_cfg.restart,
-            rtol=solver_cfg.rtol, atol=solver_cfg.atol,
+            rtol=0.0,
+            atol=jnp.maximum(
+                solver_cfg.rtol * jnp.linalg.norm(b_eff), solver_cfg.atol
+            ),
             maxiter=solver_cfg.maxiter,
             cgs2_kernel=solver_cfg.cgs2 != "xla",
             cgs2_compensated=solver_cfg.cgs2 == "pallas_comp",
