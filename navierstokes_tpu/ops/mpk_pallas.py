@@ -122,29 +122,38 @@ def _spmpv_kernel(offsets, power, tile, h, H, e_pad, win, granule, xp_ref,
             data_ref[0, k, :].astype(acc_dtype) * xs.astype(acc_dtype)
         )
 
-    # Sweeps 2..p-1: y_j[u] = sum_k data[k, u] * y_{j-1}[u + d_k] on the
-    # data frame; the h-pad keeps every static slice [h+d, h+d+e_pad) in
-    # bounds.  Pure vector rotates — no HBM traffic.
-    for _ in range(power - 2):
-        ybuf = jnp.pad(acc_y, (h, h))
-        acc_y = jnp.zeros((e_pad,), dtype=acc_dtype)
+    # Sweeps 2..p-1 on SHRINKING frames: b_j[v] = y_j[iT - (p-j)h + v],
+    # v in [0, L_j), L_j = T + 2(p-j)h — each sweep needs y only h closer
+    # to the tile than the previous, so the frame insets by h per sweep and
+    # every read is a STATIC IN-BOUNDS slice of a value:
+    #   data index  = (j-1)h + v            ((j-1)h + L_j <= e_pad)
+    #   prev index  = v + h + d_k           (within L_{j-1} = L_j + 2h)
+    # No pad/concat/rotate: Mosaic rejects unaligned 1-D concatenates
+    # ("Input offsets outside of the first tile") and tpu.dynamic_rotate
+    # does not support 1-D shapes; arbitrary static slices it compiles.
+    prev = acc_y                       # j=1 frame: inset 0, L_1 <= e_pad
+    for j in range(2, power):
+        L = tile + 2 * (power - j) * h
+        ins = (j - 1) * h
+        acc = jnp.zeros((L,), dtype=acc_dtype)
         for k, d in enumerate(offsets):
-            ys = jax.lax.slice_in_dim(ybuf, h + d, h + d + e_pad, axis=0)
-            acc_y = acc_y + data_ref[0, k, :].astype(acc_dtype) * ys
+            row = jax.lax.slice_in_dim(
+                data_ref[0, k, :].astype(acc_dtype), ins, ins + L, axis=0
+            )
+            ys = jax.lax.slice_in_dim(prev, h + d, h + d + L, axis=0)
+            acc = acc + row * ys
+        prev = acc
 
-    # Final sweep: z[t] = sum_k data[k, H + t] * y_{p-1}[H + t + d_k],
-    # t in [0, tile).
+    # Final sweep: z[t] = sum_k data[k, H + t] * y_{p-1}[iT + t + d_k].
+    # prev's frame starts at iT - h for every p (inset (p-2)h for p >= 3,
+    # and the full data frame iT - H = iT - h itself for p = 2), so the
+    # read index is t + d + h — statically in bounds (L_{p-1} = T + 2h,
+    # except p = 2 where prev is the larger e_pad frame and H == h).
     acc_z = jnp.zeros((tile,), dtype=acc_dtype)
-    ybuf = jnp.pad(acc_y, (h, h)) if H + h + tile > e_pad else None
     for k, d in enumerate(offsets):
         row = data_ref[0, k, :].astype(acc_dtype)
         center = jax.lax.slice_in_dim(row, H, H + tile, axis=0)
-        if ybuf is not None:
-            ys = jax.lax.slice_in_dim(
-                ybuf, h + H + d, h + H + d + tile, axis=0
-            )
-        else:
-            ys = jax.lax.slice_in_dim(acc_y, H + d, H + d + tile, axis=0)
+        ys = jax.lax.slice_in_dim(prev, h + d, h + d + tile, axis=0)
         acc_z = acc_z + center * ys
     out_ref[...] = acc_z.astype(out_ref.dtype)
 
