@@ -176,7 +176,15 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str, disc=None):
             H = (k - 1) * h
             e_pad = -(-(tile + 2 * H) // 128) * 128
             ov_bytes = (-(-disc.ndof // tile)) * len(offsets) * e_pad * 4
-            if ov_bytes <= 1.5e9:
+            # VMEM budget: the (K, e_pad) operator block is double-buffered
+            # by the pipeline, plus the 2-slot x-window scratch, the
+            # double-buffered output tile, and ~(k+2) live e_pad f32
+            # intermediates.  ~16 MB hard limit; keep 1 MB headroom.
+            granule = 1024
+            win = -(-(2 * h + e_pad + granule) // granule) * granule
+            vmem = (2 * len(offsets) * e_pad + 2 * win + 2 * tile
+                    + (k + 2) * e_pad) * 4
+            if ov_bytes <= 1.5e9 and vmem <= 15e6:
                 dov = pretile_dia_overlap(dia_data, disc.ndof, tile=tile,
                                           halo=H)
                 variants += [
@@ -190,9 +198,12 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str, disc=None):
             else:
                 # no silent caps: at large bandwidth the overlap-pretiled
                 # operator explodes ((T+2(p-1)h)/T passes stored explicitly)
+                # or its double-buffered block overflows the ~16 MB VMEM.
+                why = (f"operator would be {ov_bytes / 1e9:.1f} GB"
+                       if ov_bytes > 1.5e9 else
+                       f"kernel needs ~{vmem / 1e6:.1f} MB VMEM")
                 print(
-                    f"{label} DIA Pallas FUSED skipped: overlap-pretiled "
-                    f"operator would be {ov_bytes / 1e9:.1f} GB "
+                    f"{label} DIA Pallas FUSED skipped: {why} "
                     f"({ratio:.2f} passes over A vs {k} — fusion cannot "
                     f"win at this bandwidth/tile)",
                     flush=True,
@@ -216,8 +227,13 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str, disc=None):
         mb = sum(o.nbytes for o in operands) / 1e6
         infl = sum(o.nbytes for o in operands) / raw
         xl = to_l(x)
-        y = np.asarray(post(fn(xl, *operands)))
-        t = chained_op_time(fn, xl, operands=operands)
+        try:
+            y = np.asarray(post(fn(xl, *operands)))
+            t = chained_op_time(fn, xl, operands=operands)
+        except Exception as e:  # no silent caps: report and keep sweeping
+            msg = str(e).splitlines()[0][:160]
+            print(f"{label} {name} : FAILED ({msg})", flush=True)
+            continue
         us = t * 1e6
         if y_ref is None:
             y_ref = y
