@@ -1018,6 +1018,7 @@ class NavierStokesSolver:
         # nothing: the old skip-arm only fired on the exit iteration.
         def body(carry):
             (u, F, delta_u, it, res0, res_h, du_h, lin_total, _, _) = carry
+            prev_rn = res_h[it]          # set by the previous iteration/init
 
             if cfg.jacobian == "exact":
                 prep = _merge_prep(self._prep_static, consts["prep"])
@@ -1044,7 +1045,22 @@ class NavierStokesSolver:
             converged = (
                 (res_norm < nw.rtol * res0) | (res_norm < nw.atol)
             ) & (du_norm < du_tol)
-            stagnated = (it > 5) & (du_norm < nw.stol)
+            # Stagnation (the reference's break, src/solve_newton.c:
+            # 1275-1278): tiny update, OR no residual progress.  The
+            # no-progress exit matters in f32 on settled steps whose entry
+            # residual sits at the dtype floor just above atol: every
+            # linear solve then converges in its own (preconditioned)
+            # norm while F barely moves, and without this test Newton
+            # burns max_newton iterations certifying nothing (measured at
+            # matrix 3: newton=30, ~220 lin iters on settled steps, with
+            # bit-identical solutions to the it=2 exit — benchlogs/
+            # accuracy_f32_vs_f64.txt round-4 section).  An iteration
+            # improving <10% when digits are still missing would need far
+            # more than max_newton iterations anyway, so the exit never
+            # costs a convergent run.
+            stagnated = ((it > 5) & (du_norm < nw.stol)) | (
+                (it > 2) & (res_norm >= 0.9 * prev_rn)
+            )
             return (
                 u, F, delta_u, it, res0, res_h, du_h, lin_total,
                 converged, stagnated,
