@@ -199,12 +199,16 @@ def main(argv=None):
 
     u0 = None
     start_step = 0
+    delta_u0 = None
     if args.resume:
         from navierstokes_tpu.io.checkpoint import load_checkpoint
 
+        # cfg here is the user-level (pre-resolution) config — the same form
+        # run() fingerprints checkpoints with (see NavierStokesSolver.run).
         start_step, u, u_old, delta_u = load_checkpoint(args.resume, cfg=cfg)
         print(f"resumed from step {start_step}")
         u0 = jnp.asarray(u)
+        delta_u0 = jnp.asarray(delta_u)
     else:
         print("Solving Stokes system...")
         with event_log.event("stokes_init"):
@@ -222,6 +226,8 @@ def main(argv=None):
             monitor=True,
             checkpoint_path=args.checkpoint,
             checkpoint_every=args.checkpoint_every,
+            start_step=start_step,
+            delta_u0=delta_u0,
         )
     print(f"Total time: {time.time() - t0:.6f} seconds")
     if args.profile:

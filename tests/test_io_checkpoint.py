@@ -70,6 +70,46 @@ def test_resume_equals_uninterrupted(tmp_path):
     assert err < 1e-12, f"resume drift {err}"
 
 
+@pytest.mark.slow
+def test_resume_cli_new_process(tmp_path):
+    """`run.py --resume` accepts a checkpoint its own run() wrote — in a NEW
+    process, with the default (coarse_agg=None) config family.  This is the
+    exact path round 4 shipped broken (fingerprint of resolved vs unresolved
+    config); it also pins global step numbering + delta_u warm start on
+    resume: the resumed trajectory must match the uninterrupted one."""
+    import os
+    import subprocess
+    import sys
+
+    from navierstokes_tpu.io.dat import read_petsc_vec
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + ":" + env.get("PYTHONPATH", "")
+    base = [sys.executable, "-m", "navierstokes_tpu.run", "--cpu",
+            "--nx", "3", "--ny", "2", "--nz", "2",
+            "--dt", "0.01", "--re", "100.0"]
+
+    def run(extra):
+        r = subprocess.run(base + extra, capture_output=True, text=True,
+                           timeout=900, cwd=repo, env=env)
+        assert r.returncode == 0, r.stderr[-3000:] + r.stdout[-1000:]
+        return r
+
+    straight = str(tmp_path / "straight")
+    resumed = str(tmp_path / "resumed")
+    ck = str(tmp_path / "ck.npz")
+    run(["--steps", "4", "--save", "--save-dir", straight])
+    run(["--steps", "2", "--checkpoint", ck, "--checkpoint-every", "2"])
+    r = run(["--steps", "4", "--resume", ck, "--save", "--save-dir", resumed])
+    assert "resumed from step 2" in r.stdout
+    # Global step numbering continues: the resumed run writes steps 3 and 4.
+    assert not os.path.exists(os.path.join(resumed, "solution_step0002.dat"))
+    a = read_petsc_vec(os.path.join(straight, "solution_step0004.dat"))
+    b = read_petsc_vec(os.path.join(resumed, "solution_step0004.dat"))
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-13)
+
+
 def test_ilu_levels_reduce_iterations():
     """ILU(k) with higher k converges GMRES in fewer iterations (the
     PCFactorSetLevels behavior the reference relies on)."""
