@@ -1058,13 +1058,18 @@ class NavierStokesSolver:
             # burns max_newton iterations certifying nothing (measured at
             # matrix 3: newton=30, ~220 lin iters on settled steps, with
             # bit-identical solutions to the it=2 exit — benchlogs/
-            # accuracy_f32_vs_f64.txt round-4 section).  An iteration
-            # improving <10% when digits are still missing would need far
-            # more than max_newton iterations anyway, so the exit never
-            # costs a convergent run.
-            stagnated = ((it > 5) & (du_norm < nw.stol)) | (
-                (it > 2) & (res_norm >= 0.9 * prev_rn)
-            )
+            # accuracy_f32_vs_f64.txt round-4 section).  The exit is GATED
+            # TO f32: in f64 jacobian="reference" mode Newton is a fixed-
+            # point iteration (the assembled convection Jacobian is not the
+            # true Jacobian of the linear residual) whose early progress can
+            # legitimately be <10%/iter, so f64 keeps the reference's
+            # tiny-|du| break only (src/solve_newton.c:1275-1278); pinned by
+            # test_newton_e2e.py::test_f64_slow_convergence_not_truncated.
+            stagnated = (it > 5) & (du_norm < nw.stol)
+            if dtype == jnp.float32:
+                stagnated = stagnated | (
+                    (it > 2) & (res_norm >= 0.9 * prev_rn)
+                )
             return (
                 u, F, delta_u, it, res0, res_h, du_h, lin_total,
                 converged, stagnated,
