@@ -93,8 +93,15 @@ def write_gmsh(mesh: Mesh, path: str) -> None:
 
     Boundary facets are emitted as degenerate point-per-node triangles would be
     invalid Gmsh, so instead we emit the boundary triangles of the tet mesh
-    whose three nodes share a collected tag; this is sufficient for
-    `read_gmsh` round-tripping of the tag information.
+    whose three nodes share a collected tag.
+
+    DOCUMENTED LIMITATION (pinned by tests/test_mesh.py::
+    test_write_gmsh_roundtrip_policy): a face whose nodes carry DIFFERENT
+    tags is dropped — a facet line tags all its vertices, so emitting a
+    mixed face would overwrite neighboring surfaces' node tags under the
+    reader's last-writer-wins semantics.  Round-tripped tags are therefore
+    never wrong, but a node whose every boundary face is mixed (e.g. the
+    one-node-wide z-plane interior of a 4x2x2 channel) loses its tag (-1).
     """
     faces = {}
     # Boundary faces = tet faces appearing exactly once.
