@@ -22,7 +22,8 @@ import sys
 import numpy as np
 
 
-def run_one(matrix_id: int, kernel: str, dtype_str: str, disc=None):
+def run_one(matrix_id: int, kernel: str, dtype_str: str, disc=None,
+            ortho: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -73,47 +74,41 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str, disc=None):
     k = {"spmv": 1, "2spmv": 2, "spm2v": 2, "spm3v": 3, "spm4v": 4}[kernel]
     label = {"spmv": "SpMV", "2spmv": "2SpMV", "spm2v": "SpM2V",
              "spm3v": "SpM3V", "spm4v": "SpM4V"}[kernel]
+    if ortho:
+        label += "+ortho"
 
-    def powk(stepper):
-        if kernel == "2spmv":
-            # two *separate* dispatches (the unfused baseline the reference
-            # compares against) — jit each spmv alone
-            one = jax.jit(stepper)
-
-            def f(v):
-                return one(one(v))
-
-            return f
-        return lambda v: matrix_power_like(stepper, v, k)
-
-    def matrix_power_like(stepper, v, kk):
-        y = v
-        for _ in range(kk):
-            y = stepper(y)
+    def cgs2_hook(V, y):
+        """CGS2 projection of y against the 50-vector model basis — the
+        CA-GMRES dot-product barrier the reference's 2SpMV driver models
+        between its chained SpMVs (`mpk/2SpMV.cpp:3-28,109-116`: a 50-vector
+        sin basis + Gram-Schmidt sweep).  precision=HIGHEST on every GEMV
+        touching solver-style vectors (bf16 rounding rule, CLAUDE.md)."""
+        hi = jax.lax.Precision.HIGHEST
+        for _ in range(2):
+            h = jnp.einsum("mn,n->m", V, y, precision=hi)
+            y = y - jnp.einsum("mn,m->n", V, h, precision=hi)
         return y
 
-    # (step_fn(v, *operands), operands) — operator data flows as jit args.
+    # Variant entries are SINGLE-APPLY steppers (u, *operands) -> A u; the
+    # timing site chains them k times (and inserts the ortho hook between
+    # applications for 2SpMV+ortho).  `extra` may carry layout converters
+    # ("x"/"post") and "full": True for kernels that compute A^k x in one
+    # call (the fused Pallas sweeps).
     variants = []
     if with_blocks:
         variants += [
             ("oracle (segment-sum)",
-             lambda v, vals: matrix_power_like(
-                 lambda u: spmv_bcsr_ref(row_ids, bcsr_idx, vals, u), v, k),
-             (op.values,)),
+             lambda u, vals: spmv_bcsr_ref(row_ids, bcsr_idx, vals, u),
+             (op.values,), {}),
             ("block-ELL gather",
-             lambda v, vals: matrix_power_like(
-                 lambda u: spmv_bell(idx, vals, u), v, k),
-             (ell.values,)),
+             lambda u, vals: spmv_bell(idx, vals, u), (ell.values,), {}),
         ]
     variants += [
         ("DIA",
-         lambda v, data: matrix_power_like(
-             lambda u: spmv_dia(offsets, data, u), v, k),
-         (dia_data,)),
+         lambda u, data: spmv_dia(offsets, data, u), (dia_data,), {}),
         ("DIA bf16",
-         lambda v, data: matrix_power_like(
-             lambda u: spmv_dia(offsets, data, u).astype(dtype), v, k),
-         (dia_bf16,)),
+         lambda u, data: spmv_dia(offsets, data, u).astype(dtype),
+         (dia_bf16,), {}),
     ]
     if dtype == jnp.float32:
         # The stable hot-path kernel (XLA's DIA lowering is bimodal across
@@ -124,9 +119,8 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str, disc=None):
         dia_3d = pretile_dia(dia_data, disc.ndof, tile=tile)
         variants += [
             (f"DIA Pallas pretiled t={tile}",
-             lambda v, d3: matrix_power_like(
-                 lambda u: spmv_dia_pallas(offsets, d3, u, n=disc.ndof), v, k),
-             (dia_3d,)),
+             lambda u, d3: spmv_dia_pallas(offsets, d3, u, n=disc.ndof),
+             (dia_3d,), {}),
         ]
         # Component-plane (by-component-ordering) layout: 16 plane couplings
         # x N_D node diagonals = 0.74x the scalar-DIA bytes (see
@@ -153,8 +147,7 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str, disc=None):
         nbp = plane_4d.shape[0] * plane_tile
         variants += [
             (f"DIA plane-major t={plane_tile} (N_D={len(noffs)})",
-             lambda v, d4: matrix_power_like(
-                 lambda u: spmv_plane_pallas(noffs, d4, u, nb=nb), v, k),
+             lambda u, d4: spmv_plane_pallas(noffs, d4, u, nb=nb),
              (plane_4d,),
              {"x": lambda v: to_planes(v, nb, nbp),
               "post": lambda v: from_planes(v, nb, nbp)}),
@@ -193,7 +186,7 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str, disc=None):
                      lambda v, d: spmpv_dia_pallas(offsets, d, v,
                                                    n=disc.ndof, power=k,
                                                    tile=tile),
-                     (dov,)),
+                     (dov,), {"full": True}),
                 ]
             else:
                 # no silent caps: at large bandwidth the overlap-pretiled
@@ -218,12 +211,45 @@ def run_one(matrix_id: int, kernel: str, dtype_str: str, disc=None):
     raw = nnz * jnp.dtype(dtype).itemsize
     y_ref = None
     t_ref = None
-    for name, fn, operands, *layout in variants:
-        # Optional 4th element: {"x": to-native-layout, "post": back} for
-        # variants whose kernel runs in a different vector layout (timed
-        # native — the conversions happen once per solve, not per SpMV).
-        to_l = layout[0]["x"] if layout else (lambda v: v)
-        post = layout[0]["post"] if layout else (lambda v: v)
+    # The ortho-hook basis in the NATURAL vector layout; per-variant the
+    # rows are converted to the kernel's native layout (the permutation is
+    # orthogonal and pad slots are zero, so the projected result maps back
+    # identically — rel err stays meaningful across layouts).
+    V_nat = None
+    if ortho and kernel == "2spmv":
+        j = np.arange(disc.ndof, dtype=np.float64)
+        V_nat = jnp.asarray(
+            np.sin(0.001 * j[None, :] + np.arange(50)[:, None]), dtype=dtype
+        )
+    for name, fn1, operands, extra in variants:
+        # extra: {"x": to-native-layout, "post": back} for variants whose
+        # kernel runs in a different vector layout (timed native — the
+        # conversions happen once per solve, not per SpMV); "full": True
+        # for one-call A^k x kernels.
+        to_l = extra.get("x", lambda v: v)
+        post = extra.get("post", lambda v: v)
+        if extra.get("full"):
+            fn = fn1
+        elif V_nat is not None:
+            Vb = jax.vmap(to_l)(V_nat)
+
+            def fn(v, Vb, *ops, _s=fn1):
+                y = v
+                for i in range(k):
+                    if i:
+                        y = cgs2_hook(Vb, y)
+                    y = _s(y, *ops)
+                return y
+
+            operands = (Vb,) + operands
+        else:
+
+            def fn(v, *ops, _s=fn1):
+                y = v
+                for _ in range(k):
+                    y = _s(y, *ops)
+                return y
+
         mb = sum(o.nbytes for o in operands) / 1e6
         infl = sum(o.nbytes for o in operands) / raw
         xl = to_l(x)
@@ -261,6 +287,11 @@ def main(argv=None):
                         "kernels at one size share the discretization "
                         "(host pattern build dominates setup at 500k+ rows)")
     p.add_argument("--dtype", default="float32")
+    p.add_argument("--ortho", action="store_true",
+                   help="2spmv only: insert a CGS2 projection against a "
+                        "50-vector model basis between the chained SpMVs "
+                        "(the CA-GMRES dot-product barrier the reference's "
+                        "2SpMV driver models, mpk/2SpMV.cpp:3-28)")
     p.add_argument("--disc-cache", default=None,
                    help="directory holding per-matrix discretization caches "
                         "(<dir>/m<id>/), created on first use")
@@ -269,6 +300,8 @@ def main(argv=None):
     for kn in kernels:
         if kn not in ("spmv", "2spmv", "spm2v", "spm3v", "spm4v"):
             p.error(f"unknown kernel {kn}")
+    if args.ortho and kernels != ["2spmv"]:
+        p.error("--ortho applies to --kernel 2spmv only")
     for mid in (int(t) for t in args.matrices.split(",")):
         disc = None
         if args.disc_cache or len(kernels) > 1:
@@ -293,7 +326,7 @@ def main(argv=None):
                 if cache:
                     save_discretization(disc, cache)
         for kn in kernels:
-            run_one(mid, kn, args.dtype, disc=disc)
+            run_one(mid, kn, args.dtype, disc=disc, ortho=args.ortho)
 
 
 if __name__ == "__main__":
