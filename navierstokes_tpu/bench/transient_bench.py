@@ -152,6 +152,8 @@ def main(argv=None):
     p.add_argument("--coarse-smooth-omega", type=float, default=None)
     p.add_argument("--coarse-basis", default=None,
                    choices=["const", "linear"])
+    p.add_argument("--coarse-cheby", type=int, default=None)
+    p.add_argument("--coarse-cheby-fraction", type=float, default=None)
     p.add_argument("--restart", type=int, default=None)
     p.add_argument("--spmv", default=None,
                    choices=["auto", "xla", "pallas", "plane"])
@@ -187,6 +189,8 @@ def main(argv=None):
             ("coarse_dense_max", args.coarse_dense_max),
             ("coarse_smooth_omega", args.coarse_smooth_omega),
             ("coarse_basis", args.coarse_basis),
+            ("coarse_cheby", args.coarse_cheby),
+            ("coarse_cheby_fraction", args.coarse_cheby_fraction),
             ("deflation_k", args.deflation_k),
             ("deflation_arnoldi", args.deflation_arnoldi),
             ("restart", args.restart),

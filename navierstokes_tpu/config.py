@@ -29,7 +29,14 @@ class SolverConfig:
     atol: float = 1e-12
     maxiter: int = 2000
     preconditioner: str = "block_jacobi"  # "block_jacobi" | "two_level" |
-                                          # "ilu0" | "none"
+                                          # "schur" | "ilu0" | "none".
+                                          # "schur" = SIMPLE-style block-
+                                          # triangular pressure-Schur
+                                          # preconditioner (solvers/
+                                          # schur.py): velocity two-grid +
+                                          # approximate Schur two-grid.
+                                          # Requires spmv='plane' +
+                                          # jacobian='exact'; single-chip.
     # two_level (coarse_agg=48) is the measured f32 CLI default on TPU:
     # 101.6 ms/step at 121k DoF (53 GMRES iters) vs 134.3 ms / 226 iters
     # for block_jacobi — run.py sets it explicitly; this dataclass default
@@ -85,6 +92,46 @@ class SolverConfig:
                                 # (solvers.coarse.smoothed_coarse_dense_
                                 # matrix).  Dense coarse + exact-Jacobian
                                 # (eager prep) only.
+    coarse_cheby: int = 0       # two_level post-smoother: 0 = one damped-
+                                # Jacobi application (default); d >= 1 = a
+                                # degree-d Chebyshev polynomial in the
+                                # Jacobi-preconditioned operator D^{-1}A
+                                # over [f*lmax, 1.05*lmax] (the classic AMG
+                                # polynomial smoother).  lmax is estimated
+                                # ONCE at operator preparation by a short
+                                # Arnoldi sweep — requires eager prep
+                                # (jacobian='exact'); single-chip only.
+                                # Each extra degree costs one SpMV + one
+                                # D^{-1} per preconditioner apply.  NOTE:
+                                # classic Chebyshev theory assumes a
+                                # positive-real spectrum; the NS saddle
+                                # point is indefinite — measure, don't
+                                # assume (see benchlogs).
+    coarse_cheby_fraction: float = 0.3  # lower end of the smoothing
+                                # interval as a fraction of lmax (the
+                                # "cheby fraction" knob of hypre/ML); the
+                                # coarse grid is expected to handle modes
+                                # below it
+    schur_cheby: int = 2        # preconditioner='schur': Chebyshev degree
+                                # of the S_hat (pressure Schur) smoother;
+                                # 0 = one Jacobi application.  S_hat =
+                                # D + B diag(F)^{-1} B^T is ~SPD, so the
+                                # Chebyshev interval ([coarse_cheby_
+                                # fraction * lmax, 1.05 lmax], lmax from
+                                # host power iteration at prep time) is on
+                                # solid theory here — unlike the coupled
+                                # saddle point.
+    schur_v_cheby: int = 0      # preconditioner='schur': Chebyshev degree
+                                # of the velocity (F-block) smoother; 0 =
+                                # one block-Jacobi (3x3 diag) application.
+                                # Each extra degree costs one F apply
+                                # (~9/16 of a full SpMV).
+    schur_shape: str = "lower"  # "lower" = block lower-triangular (one
+                                # velocity solve + one Schur solve per
+                                # apply); "full" adds the B^T velocity
+                                # correction z_u -= F_hat^{-1} B^T z_p
+                                # (a second velocity solve + one 3x1
+                                # apply — LDU quality at ~1.6x the cost)
     coarse_dense_max: int = 4096  # max coarse DoF for the dense inverse;
                                 # beyond it the coarse level is kept sparse
                                 # (DIA) and corrected by a SECOND, smaller

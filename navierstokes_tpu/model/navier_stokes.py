@@ -70,14 +70,20 @@ def _split_prep(prep):
         return ("bj", prep[1], prep[3]), (prep[2], prep[4])
     if prep[0] == "tlp":
         # tlp: ("tlp", node_offsets, plane_data, dinv_planes, c_arrays,
-        #       c_static, nb, nbp) — the component-plane layout
+        #       c_static, nb, nbp[, cheby]) — the component-plane layout
         # (ops/plane_dia.py): two_level with 0.74x the operator bytes.
-        return (("tlp", prep[1], prep[5], prep[6], prep[7]),
+        # The optional trailing element is the static Chebyshev-smoother
+        # interval (coarse_cheby > 0) — appended only when enabled so the
+        # distributed unpack sites keep their exact arity.
+        return (("tlp", prep[1], prep[5], prep[6], prep[7])
+                + tuple(prep[8:]),
                 (prep[2], prep[3], prep[4]))
     # tl: ("tl", offsets, dia_data, invd_offsets, invd_data, c_arrays,
-    #      c_static) — c_arrays a tuple of device arrays, c_static either
-    # ("dense", cs) or ("ml", cs, c_off, cs2) (see _prepare_operator_dia).
-    return ("tl", prep[1], prep[3], prep[6]), (prep[2], prep[4], prep[5])
+    #      c_static[, cheby]) — c_arrays a tuple of device arrays, c_static
+    # either ("dense", cs) or ("ml", cs, c_off, cs2)
+    # (see _prepare_operator_dia).
+    return (("tl", prep[1], prep[3], prep[6]) + tuple(prep[7:]),
+            (prep[2], prep[4], prep[5]))
 
 
 def _merge_prep(static, arrays):
@@ -88,10 +94,10 @@ def _merge_prep(static, arrays):
         return ("bj", static[1], arrays[0], static[2], arrays[1])
     if static[0] == "tlp":
         return ("tlp", static[1], arrays[0], arrays[1], arrays[2],
-                static[2], static[3], static[4])
+                static[2], static[3], static[4]) + tuple(static[5:])
     return (
         "tl", static[1], arrays[0], static[2], arrays[1], arrays[2], static[3],
-    )
+    ) + tuple(static[4:])
 
 
 class NavierStokesSolver:
@@ -115,6 +121,17 @@ class NavierStokesSolver:
                 f"unknown cgs2 backend {self.cfg.krylov.cgs2!r}; "
                 "expected 'xla', 'pallas' or 'pallas_comp'"
             )
+        if self.cfg.krylov.coarse_cheby:
+            if self.cfg.krylov.preconditioner != "two_level":
+                raise ValueError(
+                    "coarse_cheby is the two_level post-smoother; set "
+                    "preconditioner='two_level' (or coarse_cheby=0)"
+                )
+            frac = self.cfg.krylov.coarse_cheby_fraction
+            if not 0.0 < frac < 1.0:
+                raise ValueError(
+                    f"coarse_cheby_fraction must be in (0, 1), got {frac}"
+                )
         dtype = self.cfg.jnp_dtype
         # `disc` lets config sweeps share one discretization (the host-side
         # pattern build dominates setup at 500k+ rows); it must have been
@@ -466,14 +483,16 @@ class NavierStokesSolver:
                 d16 = jnp.pad(
                     inv_diag, ((0, nbp - nb), (0, 0), (0, 0))
                 ).transpose(1, 2, 0).reshape(16, nbp)
-                return ("tlp", noffs, p4, d16, c_arrays, c_static, nb, nbp)
+                return self._maybe_append_cheby(
+                    ("tlp", noffs, p4, d16, c_arrays, c_static, nb, nbp)
+                )
             if mv_dtype is not None:
                 dia_data = dia_data.astype(jnp.dtype(mv_dtype))
             dia_data = self._maybe_pretile(offsets, dia_data)
-            return (
+            return self._maybe_append_cheby((
                 "tl", offsets, dia_data, invd.offsets, invd.data,
                 c_arrays, c_static,
-            )
+            ))
 
         s_offsets, s_data = scale_rows_dia(d.dia_pattern, dia_data, inv_diag)
         if mv_dtype is not None:
@@ -619,6 +638,100 @@ class NavierStokesSolver:
 
         return coarse_solve
 
+    # -- Chebyshev polynomial smoothing (SolverConfig.coarse_cheby) ----------
+
+    _supports_cheby = True   # the distributed subclass opts out (the tlp/tl
+                             # unpack sites there are exact-arity by design)
+
+    def _maybe_append_cheby(self, prep):
+        """Append the static Chebyshev interval to a two_level prep tuple.
+
+        coarse_cheby=0 (default): no-op, tuple arity unchanged.  Otherwise
+        estimates lmax of the Jacobi-preconditioned operator G = D^{-1}A by
+        a short Arnoldi sweep (once, eagerly, at operator preparation) and
+        appends (theta, delta, degree) for the smoothing interval
+        [f*lmax, 1.05*lmax], f = coarse_cheby_fraction."""
+        deg = self.cfg.krylov.coarse_cheby
+        if not deg:
+            return prep
+        if not self._supports_cheby:
+            raise ValueError(
+                "coarse_cheby is single-chip only (the distributed solve "
+                "paths smooth with one Jacobi application)"
+            )
+        if isinstance(prep[2], jax.core.Tracer):
+            raise ValueError(
+                "coarse_cheby requires eager operator preparation "
+                "(jacobian='exact'): the interval estimate is a host-side "
+                "eigenvalue computation"
+            )
+        lmax = self._estimate_smoother_lmax(prep)
+        frac = self.cfg.krylov.coarse_cheby_fraction  # validated in __init__
+        a, b = frac * lmax, 1.05 * lmax
+        return prep + ((float((a + b) / 2), float((b - a) / 2), int(deg)),)
+
+    def _estimate_smoother_lmax(self, prep, m: int = 20) -> float:
+        """max |Ritz value| of G = D^{-1}A from an m-step Arnoldi sweep.
+
+        Same closure discipline as `_build_deflation`: operator arrays flow
+        in as jit arguments, never as embedded constants.  The start vector
+        is the (deterministic) BC value vector, falling back to ones when
+        it is identically zero."""
+        from navierstokes_tpu.solvers.deflation import arnoldi
+
+        rhs = self.disc.bc.value.astype(self.dtype)
+        if not float(jnp.linalg.norm(rhs)):
+            rhs = jnp.ones_like(rhs)
+        if prep[0] == "tlp":
+            from navierstokes_tpu.ops.plane_dia import to_planes
+
+            rhs = to_planes(rhs, prep[6], prep[7])
+        m = min(m, rhs.shape[0] - 2)
+        static, arrays = _split_prep(prep)
+
+        def _arn(arrs, r):
+            p = _merge_prep(static, arrs)
+            _, _, parts = self._prep_operators(p)
+
+            def g(x):
+                return parts["apply_Dinv"](parts["apply_A"](x))
+
+            return arnoldi(g, r, m)
+
+        _, H = jax.jit(_arn)(arrays, rhs)
+        theta = np.linalg.eigvals(np.asarray(H, dtype=np.float64)[:m])
+        return float(np.max(np.abs(theta)))
+
+    @staticmethod
+    def _make_smoother(apply_A, apply_Dinv, cheby):
+        """Post-smoother for the two-grid cycle.
+
+        cheby=None (default): one damped-Jacobi application (z += D^{-1} s).
+        cheby=(theta, delta, deg): the degree-`deg` Chebyshev polynomial in
+        G = D^{-1}A over the interval [theta - delta, theta + delta] (the
+        classic AMG polynomial smoother — Adams/Brezina/Hu/Tuminaro 2003
+        recurrence, as in hypre/ML).  Each extra degree = one apply_A + one
+        apply_Dinv; all coefficients are static compile-time floats."""
+        if not cheby:
+            return apply_Dinv
+        theta, delta, deg = cheby
+        sigma1 = theta / delta
+
+        def smooth(s):
+            dk = apply_Dinv(s) * (1.0 / theta)
+            x = dk
+            rho_prev = 1.0 / sigma1
+            for _ in range(deg - 1):
+                rk = s - apply_A(x)
+                rho = 1.0 / (2.0 * sigma1 - rho_prev)
+                dk = (rho * rho_prev) * dk + (2.0 * rho / delta) * \
+                    apply_Dinv(rk)
+                x = x + dk
+                rho_prev = rho
+            return x
+
+        return smooth
+
     def _prep_operators(self, prep):
         """Prepared tuple -> (matvec, b_prep, parts).
 
@@ -636,7 +749,7 @@ class NavierStokesSolver:
                 restrict_planes_linear,
             )
 
-            _, noffs, p4, d16, c_arrays, c_static, nb, nbp = prep
+            _, noffs, p4, d16, c_arrays, c_static, nb, nbp = prep[:8]
             cs = c_static[1]
             coarse_solve = self._make_coarse_solve(c_arrays, c_static)
 
@@ -677,9 +790,13 @@ class NavierStokesSolver:
                     z = z - om * apply_Dinv(apply_A(z))
                 return z
 
+            smooth = self._make_smoother(
+                apply_A, apply_Dinv, prep[8] if len(prep) > 8 else None
+            )
+
             def minv(r):
                 z = coarse(r)
-                return z + apply_Dinv(r - apply_A(z))
+                return z + smooth(r - apply_A(z))
 
             def matvec(x):
                 return minv(apply_A(x))
@@ -696,7 +813,7 @@ class NavierStokesSolver:
             from navierstokes_tpu.solvers.coarse import prolong, restrict
 
             _, a_offsets, a_data, invd_offsets, invd_data, c_arrays, c_static \
-                = prep
+                = prep[:7]
             cs = c_static[1]
 
             def apply_A(x):
@@ -715,10 +832,16 @@ class NavierStokesSolver:
                     z = z - om * apply_Dinv(apply_A(z))
                 return z
 
+            smooth = self._make_smoother(
+                apply_A, apply_Dinv, prep[7] if len(prep) > 7 else None
+            )
+
             def minv(r):
-                # multiplicative two-grid: coarse correction + Jacobi smooth
+                # multiplicative two-grid: coarse correction + smooth
+                # (one Jacobi application, or a Chebyshev sweep —
+                # see _make_smoother)
                 z = coarse(r)
-                return z + apply_Dinv(r - apply_A(z))
+                return z + smooth(r - apply_A(z))
 
             def matvec(x):
                 return minv(apply_A(x))

@@ -63,9 +63,9 @@ def node_offsets_from_scalar(offsets: tuple) -> tuple:
     return cands
 
 
-def plane_terms(node_offsets: tuple) -> tuple:
-    """Static term list [(b, D), ...] shared by all four output planes."""
-    return tuple((b, d) for d in node_offsets for b in range(4))
+def plane_terms(node_offsets: tuple, n_in: int = 4) -> tuple:
+    """Static term list [(b, D), ...] shared by all output planes."""
+    return tuple((b, d) for d in node_offsets for b in range(n_in))
 
 
 def extract_planes(offsets: tuple, data, nb: int, node_offsets=None):
@@ -110,13 +110,13 @@ def pretile_planes(planes, nb: int, *, tile: int = 4096, nbp: int = None):
     return p.reshape(four, nt, nbp // tile, tile).transpose(2, 0, 1, 3)
 
 
-def _plane_kernel(terms, tile, halo, win, granule,
+def _plane_kernel(terms, tile, halo, win, granule, n_in,
                   xp_ref, data_ref, out_ref, xwin, sem):
-    """Grid (tiles, 4): output plane a of node tile t per step.
+    """Grid (tiles, n_out): output plane a of node tile t per step.
 
-    The four x-plane windows for tile t are DMA'd once (at a == 0) into the
-    double-buffered flat scratch and reused by all four output planes; the
-    next tile's windows prefetch during tile t's four compute steps."""
+    The n_in x-plane windows for tile t are DMA'd once (at a == 0) into the
+    double-buffered flat scratch and reused by all output planes; the next
+    tile's windows prefetch during tile t's n_out compute steps."""
     t = pl.program_id(0)
     a = pl.program_id(1)
     ntiles = pl.num_programs(0)
@@ -126,23 +126,23 @@ def _plane_kernel(terms, tile, halo, win, granule,
     def window_copy(j, b, s):
         return pltpu.make_async_copy(
             xp_ref.at[pl.ds(b * (ntiles * tile + win) + j * tile, win)],
-            xwin.at[pl.ds(pl.multiple_of((s * 4 + b) * win, granule), win)],
+            xwin.at[pl.ds(pl.multiple_of((s * n_in + b) * win, granule), win)],
             sem.at[s, b],
         )
 
     @pl.when(jnp.logical_and(t == 0, a == 0))
     def _():
-        for b in range(4):
+        for b in range(n_in):
             window_copy(0, b, 0).start()
 
     @pl.when(jnp.logical_and(a == 0, t + 1 < ntiles))
     def _():
-        for b in range(4):
+        for b in range(n_in):
             window_copy(t + 1, b, nxt).start()
 
     @pl.when(a == 0)
     def _():
-        for b in range(4):
+        for b in range(n_in):
             window_copy(t, b, slot).wait()
 
     acc_dtype = jnp.promote_types(out_ref.dtype, jnp.float32)
@@ -151,7 +151,7 @@ def _plane_kernel(terms, tile, halo, win, granule,
         # xwin holds [slot][b] windows back to back, each win long (granule-
         # rounded); x_b[i + d] sits at window offset halo + d + (i - t*tile).
         q, r = divmod(halo + d, granule)
-        start = pl.multiple_of((slot * 4 + b) * win, granule) + granule * q
+        start = pl.multiple_of((slot * n_in + b) * win, granule) + granule * q
         seg = xwin[pl.ds(start, tile + granule)]
         xs = jax.lax.slice_in_dim(seg, r, r + tile, axis=0)
         acc = acc + data_ref[0, 0, j, :].astype(acc_dtype) * xs.astype(acc_dtype)
@@ -159,27 +159,33 @@ def _plane_kernel(terms, tile, halo, win, granule,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("node_offsets", "nb", "interpret", "x_prehalo")
+    jax.jit,
+    static_argnames=("node_offsets", "n_in", "nb", "interpret", "x_prehalo"),
 )
-def spmv_plane_pallas(node_offsets, data, x, *, nb: int, interpret=None,
-                      x_prehalo: bool = False):
-    """y = A x in component-plane layout.
+def spmv_planes_pallas(node_offsets, data, x, *, n_in: int, nb: int,
+                       interpret=None, x_prehalo: bool = False):
+    """y = A x for an arbitrary (n_out x n_in) plane-coupling operator.
 
-    data: (grid, 4, NT, tile) from `pretile_planes`; x: flat (4 * nbp,)
-    plane-major (plane b at [b*nbp, (b+1)*nbp), nbp = grid * tile); returns
-    y of the same flat plane-major shape.  `nb` is the live node count
-    (<= nbp); rows past it are zero-padded through.
+    The generic form of the component-plane SpMV: data (grid, n_out,
+    n_in * N_D, tile) pre-tiled plane couplings (term order = `plane_terms
+    (node_offsets, n_in)`); x flat plane-major (n_in * nbp,); returns
+    (n_out * nbp,).  Sub-block applies of the 4x4 node-block operator —
+    the velocity block F (3x3), the divergence row -B (1x3), the gradient
+    column B^T (3x1) and scalar node operators such as the approximate
+    pressure Schur complement (1x1, solvers/schur.py) — all ride the same
+    windowed double-buffered kernel, paying HBM only for the planes they
+    actually touch.
 
-    x_prehalo=True: each plane of x already carries `h` ghost nodes on both
-    ends (x: (4*(nbp + 2h),), plane b at [b*(nbp+2h), ...)) — the
-    distributed per-shard case, halo filled by a ppermute exchange
-    (parallel.partitioned_spmv_plane).
+    `nb` is the live node count (<= nbp); rows past it are zero-padded
+    through.  x_prehalo=True: each plane of x already carries `h` ghost
+    nodes on both ends (the distributed per-shard case, halo filled by a
+    ppermute exchange — parallel.partitioned_spmv_plane).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    grid, four, nt, tile = data.shape
-    terms = plane_terms(node_offsets)
-    assert four == 4 and nt == len(terms)
+    grid, n_out, nt, tile = data.shape
+    terms = plane_terms(node_offsets, n_in)
+    assert nt == len(terms), (nt, len(terms))
     nbp = grid * tile
     h = max(max(abs(d) for d in node_offsets), 1)
     granule = max(4096 // x.dtype.itemsize, 128)
@@ -188,18 +194,18 @@ def spmv_plane_pallas(node_offsets, data, x, *, nb: int, interpret=None,
     # tail keeps the last tile's window (start (nbp-tile), length win) inside
     # the plane's own segment; h left-pads the negative node offsets.
     if x_prehalo:
-        assert x.shape[0] == 4 * (nbp + 2 * h)
+        assert x.shape[0] == n_in * (nbp + 2 * h)
         xp = jnp.pad(
-            x.reshape(4, nbp + 2 * h), ((0, 0), (0, win - 2 * h))
+            x.reshape(n_in, nbp + 2 * h), ((0, 0), (0, win - 2 * h))
         ).reshape(-1)
     else:
-        assert x.shape[0] == 4 * nbp
-        xp = jnp.pad(x.reshape(4, nbp), ((0, 0), (h, win - h))).reshape(-1)
+        assert x.shape[0] == n_in * nbp
+        xp = jnp.pad(x.reshape(n_in, nbp), ((0, 0), (h, win - h))).reshape(-1)
 
     out = pl.pallas_call(
-        functools.partial(_plane_kernel, terms, tile, h, win, granule),
-        out_shape=jax.ShapeDtypeStruct((4 * nbp,), x.dtype),
-        grid=(grid, 4),
+        functools.partial(_plane_kernel, terms, tile, h, win, granule, n_in),
+        out_shape=jax.ShapeDtypeStruct((n_out * nbp,), x.dtype),
+        grid=(grid, n_out),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # x planes stay in HBM
             pl.BlockSpec((1, 1, nt, tile), lambda t, a: (t, a, 0, 0),
@@ -208,12 +214,25 @@ def spmv_plane_pallas(node_offsets, data, x, *, nb: int, interpret=None,
         out_specs=pl.BlockSpec((tile,), lambda t, a: (a * grid + t,),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2 * 4 * win,), x.dtype),   # 2 slots x 4 plane windows
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.VMEM((2 * n_in * win,), x.dtype),  # 2 slots x n_in windows
+            pltpu.SemaphoreType.DMA((2, n_in)),
         ],
         interpret=interpret,
     )(xp, data)
     return out
+
+
+def spmv_plane_pallas(node_offsets, data, x, *, nb: int, interpret=None,
+                      x_prehalo: bool = False):
+    """y = A x in component-plane layout (the flagship 4x4 case).
+
+    data: (grid, 4, NT, tile) from `pretile_planes`; x: flat (4 * nbp,)
+    plane-major (plane b at [b*nbp, (b+1)*nbp), nbp = grid * tile); returns
+    y of the same flat plane-major shape.  See `spmv_planes_pallas` for the
+    generic (n_out x n_in) form this delegates to.
+    """
+    return spmv_planes_pallas(node_offsets, data, x, n_in=4, nb=nb,
+                              interpret=interpret, x_prehalo=x_prehalo)
 
 
 def to_planes(x, nb: int, nbp: int):

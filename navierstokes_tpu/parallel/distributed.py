@@ -49,6 +49,10 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
     # Krylov recycling keeps its (k, n) GEMVs unsharded — single-chip only
     # until they are (model._build_deflation raises a clear error).
     _supports_deflation = False
+    # Chebyshev post-smoothing: the distributed tl/tlp solve paths build
+    # their own minv with exact-arity tuple unpacks — single-chip only
+    # (model._maybe_append_cheby raises a clear error).
+    _supports_cheby = False
 
     def __init__(
         self,

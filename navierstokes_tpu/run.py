@@ -84,6 +84,12 @@ def main(argv=None):
                    choices=["const", "linear"],
                    help="coarse basis per aggregate: piecewise-constant "
                         "or orthonormalized {1,x,y,z} (plane mode only)")
+    p.add_argument("--coarse-cheby", type=int, default=None,
+                   help="two_level post-smoother: degree-d Chebyshev sweep "
+                        "in D^{-1}A (0 = one damped-Jacobi application)")
+    p.add_argument("--coarse-cheby-fraction", type=float, default=None,
+                   help="lower end of the Chebyshev smoothing interval as "
+                        "a fraction of lmax")
     p.add_argument("--neumann-order", type=int, default=None,
                    help="Neumann-series boost of block-Jacobi")
     p.add_argument("--cgs2", default=None, choices=["xla", "pallas", "pallas_comp"],
@@ -164,6 +170,8 @@ def main(argv=None):
         ("coarse_ml_damp", args.coarse_ml_damp),
         ("coarse_smooth_omega", args.coarse_smooth_omega),
         ("coarse_basis", args.coarse_basis),
+        ("coarse_cheby", args.coarse_cheby),
+        ("coarse_cheby_fraction", args.coarse_cheby_fraction),
         ("neumann_order", args.neumann_order),
         ("cgs2", args.cgs2),
         ("deflation_k", args.deflation_k),

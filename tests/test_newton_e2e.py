@@ -405,3 +405,54 @@ def test_f64_slow_convergence_not_truncated():
     # occurred after it=2, where the f32 exit would have fired.
     assert (ratios[2:] >= 0.9).sum() >= 5
     assert it > 20
+
+
+def test_coarse_cheby_smoother(problem):
+    """two_level with a degree-2 Chebyshev post-smoother (coarse_cheby=2)
+    reaches the same state as the plain (damped-Jacobi-smoothed) two_level
+    path, on both the scalar-DIA ('tl') and component-plane ('tlp') layouts,
+    and the prep tuple carries the static (theta, delta, degree) interval."""
+    import dataclasses
+
+    mesh = problem
+    base_kr = SolverConfig(rtol=1e-12, atol=1e-13, maxiter=4000,
+                           preconditioner="two_level", coarse_agg=4)
+
+    def mk(kr):
+        return dataclasses.replace(
+            CFG, krylov=kr,
+            stokes_krylov=dataclasses.replace(kr, rtol=1e-13))
+
+    s0 = NavierStokesSolver(mesh, mk(base_kr))
+    u0 = s0.stokes_init()
+    u_ref, _, st_ref = s0.step(u0, u0, jnp.zeros_like(u0))
+    assert bool(st_ref.converged)
+
+    for extra in ({}, {"spmv": "plane"}):
+        kr = dataclasses.replace(base_kr, coarse_cheby=2, **extra)
+        s = NavierStokesSolver(mesh, mk(kr))
+        cheby = s._exact_prep[-1]
+        assert isinstance(cheby, tuple) and len(cheby) == 3
+        theta, delta, deg = cheby
+        assert deg == 2 and delta > 0 and theta > delta  # interval > 0
+        u, _, st = s.step(u0, u0, jnp.zeros_like(u0))
+        assert bool(st.converged)
+        err = np.linalg.norm(np.asarray(u) - np.asarray(u_ref)) / (
+            np.linalg.norm(np.asarray(u_ref)))
+        assert err < 1e-8, f"cheby disagreement {err} ({extra})"
+
+
+def test_coarse_cheby_validation(problem):
+    """coarse_cheby demands two_level; bad fractions are rejected."""
+    import dataclasses
+
+    mesh = problem
+    kr = SolverConfig(coarse_cheby=2)  # default preconditioner != two_level
+    with pytest.raises(ValueError, match="two_level"):
+        NavierStokesSolver(mesh, dataclasses.replace(CFG, krylov=kr))
+    kr2 = SolverConfig(preconditioner="two_level", coarse_agg=4,
+                       coarse_cheby=2, coarse_cheby_fraction=1.5)
+    with pytest.raises(ValueError, match="fraction"):
+        NavierStokesSolver(mesh, dataclasses.replace(
+            CFG, krylov=kr2,
+            stokes_krylov=dataclasses.replace(kr2, rtol=1e-13)))
