@@ -154,6 +154,10 @@ def main(argv=None):
                    choices=["const", "linear"])
     p.add_argument("--coarse-cheby", type=int, default=None)
     p.add_argument("--coarse-cheby-fraction", type=float, default=None)
+    p.add_argument("--schur-cheby", type=int, default=None)
+    p.add_argument("--schur-v-cheby", type=int, default=None)
+    p.add_argument("--schur-shape", default=None,
+                   choices=["lower", "full"])
     p.add_argument("--restart", type=int, default=None)
     p.add_argument("--spmv", default=None,
                    choices=["auto", "xla", "pallas", "plane"])
@@ -191,6 +195,9 @@ def main(argv=None):
             ("coarse_basis", args.coarse_basis),
             ("coarse_cheby", args.coarse_cheby),
             ("coarse_cheby_fraction", args.coarse_cheby_fraction),
+            ("schur_cheby", args.schur_cheby),
+            ("schur_v_cheby", args.schur_v_cheby),
+            ("schur_shape", args.schur_shape),
             ("deflation_k", args.deflation_k),
             ("deflation_arnoldi", args.deflation_arnoldi),
             ("restart", args.restart),

@@ -68,6 +68,13 @@ def _split_prep(prep):
         return ("defl", s), (a, prep[2], prep[3])
     if prep[0] == "bj":
         return ("bj", prep[1], prep[3]), (prep[2], prep[4])
+    if prep[0] == "sch":
+        # sch: ("sch", node_offsets, p4, sch_arrays, sch_static, nb, nbp) —
+        # the pressure-Schur block preconditioner (solvers/schur.py); p4 is
+        # the full component-plane operator (index 2, like tlp, so the
+        # residual-operator sharing in _ensure_prepared applies).
+        return (("sch", prep[1], prep[4], prep[5], prep[6]),
+                (prep[2], prep[3]))
     if prep[0] == "tlp":
         # tlp: ("tlp", node_offsets, plane_data, dinv_planes, c_arrays,
         #       c_static, nb, nbp[, cheby]) — the component-plane layout
@@ -92,6 +99,9 @@ def _merge_prep(static, arrays):
                 arrays[1], arrays[2])
     if static[0] == "bj":
         return ("bj", static[1], arrays[0], static[2], arrays[1])
+    if static[0] == "sch":
+        return ("sch", static[1], arrays[0], arrays[1],
+                static[2], static[3], static[4])
     if static[0] == "tlp":
         return ("tlp", static[1], arrays[0], arrays[1], arrays[2],
                 static[2], static[3], static[4]) + tuple(static[5:])
@@ -121,6 +131,28 @@ class NavierStokesSolver:
                 f"unknown cgs2 backend {self.cfg.krylov.cgs2!r}; "
                 "expected 'xla', 'pallas' or 'pallas_comp'"
             )
+        if self.cfg.krylov.preconditioner == "schur":
+            if self.cfg.krylov.spmv != "plane":
+                raise ValueError(
+                    "preconditioner='schur' requires spmv='plane' (the "
+                    "sub-block applies run on the component-plane layout)"
+                )
+            if self.cfg.jacobian != "exact":
+                raise ValueError(
+                    "preconditioner='schur' requires jacobian='exact': the "
+                    "Schur complement and coarse inverses are built on the "
+                    "host at (eager) operator preparation"
+                )
+            if self.cfg.krylov.schur_shape not in ("lower", "full"):
+                raise ValueError(
+                    f"unknown schur_shape {self.cfg.krylov.schur_shape!r}; "
+                    "expected 'lower' or 'full'"
+                )
+            if self.cfg.krylov.deflation_k:
+                raise ValueError(
+                    "deflation_k is not supported with preconditioner="
+                    "'schur' (recycling is built on the tl/tlp preps)"
+                )
         if self.cfg.krylov.coarse_cheby:
             if self.cfg.krylov.preconditioner != "two_level":
                 raise ValueError(
@@ -211,7 +243,7 @@ class NavierStokesSolver:
             offs = self.disc.dia_pattern.offsets
             if (
                 self.cfg.jacobian == "exact"
-                and self.cfg.krylov.preconditioner == "two_level"
+                and self.cfg.krylov.preconditioner in ("two_level", "schur")
                 and self.cfg.krylov.matvec_dtype is None
             ):
                 # The residual operator differs from the prepared two_level
@@ -342,6 +374,8 @@ class NavierStokesSolver:
                 "expected 'const' or 'linear'"
             )
         offsets = d.dia_pattern.offsets
+        if cfgk.preconditioner == "schur":
+            return self._prepare_operator_schur(offsets, dia_data)
         inv_diag = block4_inverse(
             diag_blocks_from_dia(offsets, dia_data, d.mesh.nv),
             pivot_eps=1e-300, shift=1e-8,
@@ -499,6 +533,124 @@ class NavierStokesSolver:
             s_data = s_data.astype(jnp.dtype(mv_dtype))
         s_data = self._maybe_pretile(s_offsets, s_data)
         return ("bj", s_offsets, s_data, invd.offsets, invd.data)
+
+    def _prepare_operator_schur(self, offsets, dia_data):
+        """BC-applied DIA data -> ("sch", ...) pressure-Schur prep.
+
+        Everything Schur-specific is built on the HOST in f64 once per
+        operator preparation (solvers/schur.py): the 3x3 velocity diagonal
+        inverse, the SIMPLE Schur complement S_hat = D + B diag(F)^{-1} B^T
+        in scalar node-DIA form, the dense velocity/pressure coarse
+        inverses, and the Chebyshev smoothing intervals (power iteration).
+        The device half is plane stacks for the generic windowed kernel
+        (`ops.plane_dia.spmv_planes_pallas`): the full 4x4 operator p4
+        (GMRES matvec), F (3x3), A_pu = -B (1x3), optionally A_up = B^T
+        (3x1, schur_shape='full'), and S_hat (1x1, doubled offsets)."""
+        from navierstokes_tpu.ops.plane_dia import (
+            extract_planes,
+            node_offsets_from_scalar,
+            plane_terms,
+            pretile_planes,
+        )
+        from navierstokes_tpu.solvers import schur as sch
+        from navierstokes_tpu.solvers.coarse import build_aggregates
+
+        d = self.disc
+        cfgk = self.cfg.krylov
+        nb = d.mesh.nv
+        try:
+            dd = np.asarray(dia_data)
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError) as e:
+            raise ValueError(
+                "preconditioner='schur' requires eager operator "
+                "preparation (jacobian='exact'): the Schur complement and "
+                "coarse inverses are host-side computations"
+            ) from e
+        noffs = node_offsets_from_scalar(offsets)
+        tile, nbp = self._plane_layout(nb, noffs)
+        if not hasattr(self, "_coarse_space"):
+            self._coarse_space = build_aggregates(nb, cfgk.coarse_agg)
+        cs = self._coarse_space
+        if 3 * cs.n_agg > cfgk.coarse_dense_max:
+            raise ValueError(
+                "preconditioner='schur' uses dense coarse inverses "
+                f"(velocity nc={3 * cs.n_agg} > coarse_dense_max="
+                f"{cfgk.coarse_dense_max}); raise coarse_agg or "
+                "coarse_dense_max"
+            )
+        dt = self.dtype
+
+        p4 = pretile_planes(
+            extract_planes(offsets, dia_data, nb, node_offsets=noffs),
+            nb, tile=tile, nbp=nbp,
+        )
+
+        a_blk = sch.split_blocks(offsets, dd, nb, noffs)
+        fd_inv = sch.diag_f_inverse(a_blk, noffs)
+
+        def tile_np(planes_np):
+            return pretile_planes(jnp.asarray(planes_np, dtype=dt),
+                                  nb, tile=tile, nbp=nbp)
+
+        terms3 = plane_terms(noffs, 3)
+        pf_np = np.empty((3, len(terms3), nb), dtype=np.float64)
+        pb_np = np.empty((1, len(terms3), nb), dtype=np.float64)
+        for j, (b, dn) in enumerate(terms3):
+            i_d = noffs.index(dn)
+            for a in range(3):
+                pf_np[a, j] = a_blk[i_d, :, a, b]
+            pb_np[0, j] = a_blk[i_d, :, 3, b]
+        p_f, p_b = tile_np(pf_np), tile_np(pb_np)
+        p_g = None
+        if cfgk.schur_shape == "full":
+            terms1 = plane_terms(noffs, 1)
+            pg_np = np.empty((3, len(terms1), nb), dtype=np.float64)
+            for j, (_, dn) in enumerate(terms1):
+                i_d = noffs.index(dn)
+                for a in range(3):
+                    pg_np[a, j] = a_blk[i_d, :, a, 3]
+            p_g = tile_np(pg_np)
+
+        # (nb, 3, 3) -> (9, nbp) planes: row 3a+b holds diag(F)^{-1}[:, a, b]
+        d9 = jnp.asarray(
+            np.pad(fd_inv, ((0, nbp - nb), (0, 0), (0, 0)))
+            .transpose(1, 2, 0).reshape(9, nbp), dtype=dt,
+        )
+
+        s_offs, s_np = sch.build_schur_dia(a_blk, noffs, nb, fd_inv)
+        sd = s_np[s_offs.index(0)].copy()
+        sd[sd == 0.0] = 1.0
+        sdinv_np = 1.0 / sd
+        s_dinv = jnp.asarray(np.pad(sdinv_np, (0, nbp - nb)), dtype=dt)
+        s_tiled = tile_np(s_np[None, :, :])
+
+        vc_inv = jnp.asarray(
+            sch.velocity_coarse_inverse(cs, a_blk, noffs,
+                                        shift=cfgk.coarse_shift), dtype=dt)
+        sc_inv = jnp.asarray(
+            sch.scalar_coarse_inverse(cs, s_offs, s_np,
+                                      shift=cfgk.coarse_shift), dtype=dt)
+
+        frac = cfgk.coarse_cheby_fraction
+        cheby_s = cheby_v = None
+        if cfgk.schur_cheby:
+            lmax = sch.power_lmax_schur(s_offs, s_np, sdinv_np)
+            a_, b_ = frac * lmax, 1.05 * lmax
+            cheby_s = (float((a_ + b_) / 2), float((b_ - a_) / 2),
+                       int(cfgk.schur_cheby))
+        if cfgk.schur_v_cheby:
+            lmax = sch.power_lmax_velocity(a_blk, noffs, fd_inv)
+            a_, b_ = frac * lmax, 1.05 * lmax
+            cheby_v = (float((a_ + b_) / 2), float((b_ - a_) / 2),
+                       int(cfgk.schur_v_cheby))
+
+        static = (cs, sch.SchurStatic(
+            s_offsets=s_offs, cheby_s=cheby_s, cheby_v=cheby_v,
+            shape=cfgk.schur_shape,
+        ))
+        arrays = (p_f, p_b, p_g, d9, s_tiled, s_dinv, vc_inv, sc_inv)
+        return ("sch", noffs, p4, arrays, static, nb, nbp)
 
     def _prepare_operator(self, bcsr_values):
         """Compatibility wrapper: BC-applied BCSR block values -> prepared
@@ -740,6 +892,90 @@ class NavierStokesSolver:
         the component applies (apply_A, apply_Dinv, coarse / apply_S) so
         `bench/gmres_decomp` can time the REAL solver components
         individually rather than re-implementations of them."""
+        if prep[0] == "sch":
+            from navierstokes_tpu.ops.plane_dia import (
+                spmv_plane_pallas,
+                spmv_planes_pallas,
+            )
+            from navierstokes_tpu.solvers.schur import (
+                prolong_planes_n,
+                restrict_planes_n,
+            )
+
+            _, noffs, p4, arrs, stat, nb, nbp = prep
+            p_f, p_b, p_g, d9, s_tiled, s_dinv, vc_inv, sc_inv = arrs
+            cs, ss = stat
+            hp = jax.lax.Precision.HIGHEST
+
+            def apply_A(x):
+                return spmv_plane_pallas(noffs, p4, x, nb=nb)
+
+            def apply_F(xu):
+                return spmv_planes_pallas(noffs, p_f, xu, n_in=3, nb=nb)
+
+            def apply_pu(xu):          # the pressure row: A_pu = -B
+                return spmv_planes_pallas(noffs, p_b, xu, n_in=3, nb=nb)
+
+            def apply_S(xp):
+                return spmv_planes_pallas(ss.s_offsets, s_tiled, xp,
+                                          n_in=1, nb=nb)
+
+            def dinv_f(ru):
+                # 3x3 block-diagonal inverse as 9 elementwise plane
+                # multiplies (the velocity analog of the tlp d16 apply)
+                r3 = ru.reshape(3, nbp)
+                return jnp.einsum("abn,bn->an", d9.reshape(3, 3, nbp), r3,
+                                  precision=hp).reshape(-1)
+
+            def dinv_s(rp):
+                return s_dinv * rp
+
+            smooth_v = self._make_smoother(apply_F, dinv_f, ss.cheby_v)
+            smooth_s = self._make_smoother(apply_S, dinv_s, ss.cheby_s)
+
+            def fhat(ru):
+                # velocity two-grid: dense aggregation coarse + smoother
+                zc = jnp.matmul(vc_inv, restrict_planes_n(cs, ru, nbp, 3),
+                                precision=hp)
+                z = prolong_planes_n(cs, zc, nbp, nb, 3)
+                return z + smooth_v(ru - apply_F(z))
+
+            def shat(rp):
+                # pressure-Schur two-grid (S_hat ~SPD: Chebyshev is sound)
+                zc = jnp.matmul(sc_inv, restrict_planes_n(cs, rp, nbp, 1),
+                                precision=hp)
+                z = prolong_planes_n(cs, zc, nbp, nb, 1)
+                return z + smooth_s(rp - apply_S(z))
+
+            def minv(r):
+                # block lower-triangular solve M z = r:
+                #   [ F_hat   0     ] [z_u]   [r_u]
+                #   [ A_pu    S_hat ] [z_p] = [r_p]
+                # (signs verbatim from the operator blocks: A_pu = -B);
+                # schur_shape='full' adds the A_up = B^T back-substitution.
+                r2 = r.reshape(4, nbp)
+                zu = fhat(r2[:3].reshape(-1))
+                zp = shat(r2[3] - apply_pu(zu))
+                if ss.shape == "full":
+                    zu = zu - fhat(spmv_planes_pallas(
+                        noffs, p_g, zp, n_in=1, nb=nb))
+                return jnp.concatenate(
+                    [zu.reshape(3, nbp), zp[None]], 0
+                ).reshape(-1)
+
+            def matvec(x):
+                return minv(apply_A(x))
+
+            parts = {
+                "apply_A": apply_A,
+                "apply_F": apply_F,
+                "apply_S": apply_S,
+                "fhat": fhat,
+                "shat": shat,
+                "minv": minv,
+            }
+            return matvec, minv, parts
+
         if prep[0] == "tlp":
             from navierstokes_tpu.ops.plane_dia import spmv_plane_pallas
             from navierstokes_tpu.solvers.coarse import (
@@ -988,13 +1224,14 @@ class NavierStokesSolver:
                 )
                 return res._replace(x=from_planes(res.x, nb, nbp))
             return self._solve_deflated(inner, U, Q, rhs, solver_cfg)
-        if prep[0] == "tlp":
-            # Component-plane layout: the Krylov space lives in plane-major
+        if prep[0] in ("tlp", "sch"):
+            # Component-plane layouts: the Krylov space lives in plane-major
             # vectors; convert the RHS in and the solution out ONCE per
             # solve (dots/axpys inside GMRES are layout-agnostic).
             from navierstokes_tpu.ops.plane_dia import from_planes, to_planes
 
-            nb, nbp = prep[6], prep[7]
+            nb, nbp = (prep[6], prep[7]) if prep[0] == "tlp" \
+                else (prep[5], prep[6])
             res = self._solve_prepared_raw(
                 prep, to_planes(rhs, nb, nbp), solver_cfg
             )

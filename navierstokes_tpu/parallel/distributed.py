@@ -62,6 +62,11 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
         devices=None,
         axis: str = "x",
     ):
+        if cfg is not None and cfg.krylov.preconditioner == "schur":
+            raise ValueError(
+                "preconditioner='schur' is single-chip only (its sub-block "
+                "plane applies are not sharded); use 'two_level'"
+            )
         devices = list(devices if devices is not None else jax.devices())
         self.axis = axis
         self.n_devices = len(devices)

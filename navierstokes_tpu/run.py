@@ -67,7 +67,8 @@ def main(argv=None):
     p.add_argument("--spmv", choices=["auto", "xla", "pallas", "plane"], default=None,
                    help="SpMV kernel routing (default: auto)")
     p.add_argument("--preconditioner", default=None,
-                   choices=["block_jacobi", "two_level", "ilu0", "none"])
+                   choices=["block_jacobi", "two_level", "schur", "ilu0",
+                            "none"])
     p.add_argument("--coarse-agg", type=int, default=None,
                    help="two_level: nodes per aggregate")
     p.add_argument("--coarse-ml-smooth", type=int, default=None,
@@ -90,6 +91,16 @@ def main(argv=None):
     p.add_argument("--coarse-cheby-fraction", type=float, default=None,
                    help="lower end of the Chebyshev smoothing interval as "
                         "a fraction of lmax")
+    p.add_argument("--schur-cheby", type=int, default=None,
+                   help="schur: Chebyshev degree of the S_hat smoother "
+                        "(0 = one Jacobi application)")
+    p.add_argument("--schur-v-cheby", type=int, default=None,
+                   help="schur: Chebyshev degree of the velocity smoother "
+                        "(0 = one block-Jacobi application)")
+    p.add_argument("--schur-shape", default=None,
+                   choices=["lower", "full"],
+                   help="schur: block-triangular shape (full adds the "
+                        "B^T velocity correction)")
     p.add_argument("--neumann-order", type=int, default=None,
                    help="Neumann-series boost of block-Jacobi")
     p.add_argument("--cgs2", default=None, choices=["xla", "pallas", "pallas_comp"],
@@ -172,6 +183,9 @@ def main(argv=None):
         ("coarse_basis", args.coarse_basis),
         ("coarse_cheby", args.coarse_cheby),
         ("coarse_cheby_fraction", args.coarse_cheby_fraction),
+        ("schur_cheby", args.schur_cheby),
+        ("schur_v_cheby", args.schur_v_cheby),
+        ("schur_shape", args.schur_shape),
         ("neumann_order", args.neumann_order),
         ("cgs2", args.cgs2),
         ("deflation_k", args.deflation_k),
