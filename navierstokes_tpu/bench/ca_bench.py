@@ -75,12 +75,22 @@ def main(argv=None):
             f"{t64 * 1e3:8.2f} ms  per-iter {per * 1e6:7.1f} us")
 
     # Tolerance-targeted solve of a fixed synthetic RHS.  For ca_gmres the
-    # basis length (= min(restart, 16)) governs the monomial-basis
-    # conditioning, so sweep it — long bases lose orthogonality and stall.
-    configs = [("gmres", 30), ("ca_gmres", 16), ("ca_gmres", 12),
-               ("ca_gmres", 8), ("ca_gmres", 6)]
-    for method, restart in configs:
-        kv = dataclasses.replace(krylov, method=method, restart=restart)
+    # basis length (= min(restart, 16)) governs the basis conditioning, so
+    # sweep it, for BOTH polynomial bases: monomial (stalls in f32 — every
+    # length 6-16, round-3 measurement) and the Leja-shifted Newton basis
+    # (solvers.sstep.newton_shifts — the textbook conditioning fix).
+    configs = [("gmres", 30, "monomial")] + [
+        ("ca_gmres", m, basis)
+        for basis in ("monomial", "newton") for m in (16, 12, 8, 6)
+    ]
+    for method, restart, basis in configs:
+        kv = dataclasses.replace(krylov, method=method, restart=restart,
+                                 ca_basis=basis)
+        if method == "ca_gmres" and basis == "newton":
+            # shifts for THIS basis length (kv.ca_basis routes them in
+            # _solve_prepared_raw)
+            solver._ca_shifts = solver._build_ca_shifts(
+                solver._exact_prep, min(restart, 16))
 
         @jax.jit
         def solve(v, arrs, kv=kv):
@@ -95,8 +105,9 @@ def main(argv=None):
             x, it, rn, conv = solve(b, arrays)
         x.block_until_ready()
         dt = (time.perf_counter() - t0) / 5
-        tag = f"{method}[m={min(restart, 16) if method == 'ca_gmres' else restart}]"
-        log(f"{tag:14s} to tol: {dt * 1e3:8.2f} ms  iters={int(it)} "
+        tag = f"{method}[m={min(restart, 16) if method == 'ca_gmres' else restart}"
+        tag += f",{basis[:4]}]" if method == "ca_gmres" else "]"
+        log(f"{tag:19s} to tol: {dt * 1e3:8.2f} ms  iters={int(it)} "
             f"resnorm={float(rn):.3e} converged={bool(conv)}")
 
 

@@ -175,6 +175,19 @@ class SolverConfig:
                                 # mixed-precision CGS2 — f64 does not run
                                 # natively on the chip).  Single-chip
                                 # gmres only.
+    ca_basis: str = "monomial"  # method='ca_gmres' basis polynomial:
+                                # "monomial" (v, Av, A^2 v, ...) or
+                                # "newton" — Leja-ordered shifted products
+                                # (A - theta_i) with theta_i the Ritz
+                                # values of the preconditioned operator
+                                # from a prepare-time Arnoldi sweep
+                                # (solvers.sstep.newton_shifts).  The
+                                # monomial basis conditions like kappa^m
+                                # and stalls in f32 at 117k rows
+                                # (benchlogs/ca_gmres.txt); newton is the
+                                # textbook fix.  Requires jacobian='exact'
+                                # (shifts of the constant operator);
+                                # single-chip.
     matvec_dtype: Optional[str] = None  # e.g. "bfloat16": store the scaled
                                     # operator in low precision (halves SpMV
                                     # HBM traffic; Krylov vectors stay in the

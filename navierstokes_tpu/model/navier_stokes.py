@@ -153,6 +153,18 @@ class NavierStokesSolver:
                     "deflation_k is not supported with preconditioner="
                     "'schur' (recycling is built on the tl/tlp preps)"
                 )
+        if self.cfg.krylov.ca_basis not in ("monomial", "newton"):
+            raise ValueError(
+                f"unknown ca_basis {self.cfg.krylov.ca_basis!r}; "
+                "expected 'monomial' or 'newton'"
+            )
+        if (self.cfg.krylov.ca_basis == "newton"
+                and self.cfg.krylov.method == "ca_gmres"
+                and self.cfg.jacobian != "exact"):
+            raise ValueError(
+                "ca_basis='newton' requires jacobian='exact' (the shifts "
+                "are Ritz values of the constant prepared operator)"
+            )
         if self.cfg.krylov.coarse_cheby:
             if self.cfg.krylov.preconditioner != "two_level":
                 raise ValueError(
@@ -223,6 +235,14 @@ class NavierStokesSolver:
                 # subsequent solve (solvers/deflation.py).
                 self._exact_prep_val = self._build_deflation(
                     self._exact_prep_val
+                )
+            if (self.cfg.krylov.method == "ca_gmres"
+                    and self.cfg.krylov.ca_basis == "newton"):
+                inner = self._exact_prep_val
+                if inner[0] == "defl":
+                    inner = inner[1]
+                self._ca_shifts = self._build_ca_shifts(
+                    inner, min(self.cfg.krylov.restart, 16)
                 )
             static, arrays = _split_prep(self._exact_prep_val)
             self._prep_static = static
@@ -822,6 +842,36 @@ class NavierStokesSolver:
         a, b = frac * lmax, 1.05 * lmax
         return prep + ((float((a + b) / 2), float((b - a) / 2), int(deg)),)
 
+    def _build_ca_shifts(self, prep, s: int) -> tuple:
+        """Leja-ordered Newton-basis shifts for ca_gmres (ca_basis='newton').
+
+        One m-step Arnoldi sweep on the PRECONDITIONED constant operator
+        (same closure discipline as `_build_deflation`: operator arrays as
+        jit arguments), host-side Ritz eig + Leja ordering
+        (solvers.sstep.newton_shifts).  Eager, once per preparation."""
+        from navierstokes_tpu.solvers.deflation import arnoldi
+        from navierstokes_tpu.solvers.sstep import newton_shifts
+
+        rhs = self.disc.bc.value.astype(self.dtype)
+        if not float(jnp.linalg.norm(rhs)):
+            rhs = jnp.ones_like(rhs)
+        if prep[0] in ("tlp", "sch"):
+            from navierstokes_tpu.ops.plane_dia import to_planes
+
+            nb, nbp = (prep[6], prep[7]) if prep[0] == "tlp" \
+                else (prep[5], prep[6])
+            rhs = to_planes(rhs, nb, nbp)
+        m = min(max(2 * s, 32), rhs.shape[0] - 2)
+        static, arrays = _split_prep(prep)
+
+        def _arn(arrs, r):
+            p = _merge_prep(static, arrs)
+            matvec, b_prep, _ = self._prep_operators(p)
+            return arnoldi(matvec, b_prep(r), m)
+
+        _, H = jax.jit(_arn)(arrays, rhs)
+        return newton_shifts(np.asarray(H), s)
+
     def _estimate_smoother_lmax(self, prep, m: int = 20) -> float:
         """max |Ritz value| of G = D^{-1}A from an m-step Arnoldi sweep.
 
@@ -1258,10 +1308,15 @@ class NavierStokesSolver:
         if solver_cfg.method == "ca_gmres":
             from navierstokes_tpu.solvers.sstep import ca_gmres
 
+            # Newton-basis shifts exist only for the constant exact-Jacobian
+            # operator (built in _ensure_prepared); the Stokes solve runs
+            # before preparation and stays monomial by construction.
+            shifts = getattr(self, "_ca_shifts", None) \
+                if solver_cfg.ca_basis == "newton" else None
             return ca_gmres(
                 matvec, b_eff, basis=min(solver_cfg.restart, 16),
                 rtol=solver_cfg.rtol, atol=solver_cfg.atol,
-                maxiter=solver_cfg.maxiter,
+                maxiter=solver_cfg.maxiter, shifts=shifts,
             )
         return gmres(
             matvec, b_eff, restart=solver_cfg.restart,

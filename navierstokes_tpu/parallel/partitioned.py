@@ -293,12 +293,18 @@ def partitioned_spmv_dia_power(
     n_devices: int,
     k: int,
     return_all: bool = False,
+    shifts: tuple = None,
 ):
     """Communication-avoiding A^j x (j = 1..k) on the scalar-DIA layout:
     ONE k*h-deep halo exchange of x and a (k-1)*h-deep exchange of the
     operator columns, then k masked local sweeps.  Own rows stay valid after
     every sweep, so `return_all=True` yields the full one-exchange s-step
     Krylov power stack (n_pad, k).  Requires k * h <= rows-per-device.
+
+    `shifts` (k floats) turns the sweeps into the Newton-basis products
+    prod_j (A - shifts[j] I) x (solvers/sstep.py): the shift is a local
+    elementwise subtraction, so the one-exchange communication structure
+    is unchanged.
     """
     K, n_pad = data.shape
     if n_pad % n_devices:
@@ -325,6 +331,8 @@ def partitioned_spmv_dia_power(
                 y = y + data_ext[kk] * jax.lax.dynamic_slice(
                     cur, (h + d,), (inner,)
                 )
+            if shifts is not None:
+                y = y - shifts[s] * jax.lax.dynamic_slice(cur, (h,), (inner,))
             y = jnp.pad(y, (h, h))
             valid = (pos >= (s + 1) * h) & (pos < ext - (s + 1) * h)
             cur = jnp.where(valid, y, 0.0)
@@ -352,6 +360,7 @@ def partitioned_spmv_power(
     x: jnp.ndarray,
     k: int,
     return_all: bool = False,
+    shifts: tuple = None,
 ) -> jnp.ndarray:
     """Communication-avoiding A^k x: one k*H-deep exchange + k local sweeps.
 
@@ -364,12 +373,14 @@ def partitioned_spmv_power(
     return_all=True returns the stacked powers [A x, ..., A^k x] with shape
     (4*nb_pad, k) — the own rows stay valid after every sweep, which is what
     makes a one-exchange s-step Krylov basis possible (`solvers/sstep.py`).
+    `shifts` (k floats) produces the Newton-basis products
+    prod_j (A - shifts[j] I) x instead (see partitioned_spmv_dia_power).
     """
     n_dev, H, L = part.n_devices, part.halo, part.rows_per_dev
     D = k * H
     if D > L:
         raise ValueError(f"k*halo = {D} exceeds rows-per-device {L}")
-    if k == 1 and not return_all:
+    if shifts is None and k == 1 and not return_all:
         return partitioned_spmv(part, mesh, axis, delta_indices, values, x)
 
     ghost = D - H  # operator rows needed beyond own (stencil depth H less)
@@ -390,6 +401,8 @@ def partitioned_spmv_power(
         for s in range(k):
             g = cur[gather_at]                                  # (ext-2H, S, 4)
             y = jnp.einsum("rsab,rsb->ra", vals_ext, g)
+            if shifts is not None:
+                y = y - shifts[s] * cur[H:ext - H]
             y = jnp.pad(y, ((H, H), (0, 0)))                    # back to (ext, 4)
             off = jax.lax.broadcasted_iota(jnp.int32, (ext, 1), 0)
             valid = (off >= (s + 1) * H) & (off < ext - (s + 1) * H)

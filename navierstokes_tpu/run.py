@@ -114,6 +114,10 @@ def main(argv=None):
                    help="Arnoldi length for the recycle setup (0 = auto)")
     p.add_argument("--ca-gmres", action="store_true",
                    help="use the s-step (communication-avoiding) GMRES")
+    p.add_argument("--ca-basis", default=None,
+                   choices=["monomial", "newton"],
+                   help="ca_gmres basis: monomial or Leja-ordered Newton "
+                        "(shifted) — the f32-stable choice")
     p.add_argument("--restart", type=int, default=None,
                    help="GMRES restart length")
     args = p.parse_args(argv)
@@ -183,6 +187,7 @@ def main(argv=None):
         ("coarse_basis", args.coarse_basis),
         ("coarse_cheby", args.coarse_cheby),
         ("coarse_cheby_fraction", args.coarse_cheby_fraction),
+        ("ca_basis", args.ca_basis),
         ("schur_cheby", args.schur_cheby),
         ("schur_v_cheby", args.schur_v_cheby),
         ("schur_shape", args.schur_shape),
