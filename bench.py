@@ -210,15 +210,16 @@ def bench_solver_step(mesh, n_steps: int = 10):
 
     import jax.numpy as jnp
 
-    from navierstokes_tpu.config import NewtonConfig, NSConfig, SolverConfig
+    from navierstokes_tpu.config import NewtonConfig, NSConfig
     from navierstokes_tpu.model import NavierStokesSolver
+    from navierstokes_tpu.run import default_f32_krylov
 
-    # Flagship config (run.py f32 defaults): two_level with the component-
-    # plane operator layout and the auto agg schedule (48 at this size) —
-    # 11.8 ms/step at 117k DoF on one v5e (benchlogs/transient_scaling.txt).
-    krylov = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
-                          neumann_order=0, preconditioner="two_level",
-                          spmv="plane")
+    # Flagship config (run.py f32 defaults, single source of truth):
+    # component-plane layout + the measured auto schedules — at this size
+    # preconditioner="auto" resolves to two_level with a degree-3 Chebyshev
+    # post-smoother, 9.4 ms/step at 117k DoF on one v5e
+    # (benchlogs/transient_scaling.txt round-5 sweeps).
+    krylov = default_f32_krylov()
     cfg = NSConfig(
         dt=1e-3, reynolds=300.0, delta=0.05, dtype="float32",
         newton=NewtonConfig(rtol=1e-4, atol=1e-5, stol=1e-6,
@@ -241,7 +242,9 @@ def bench_solver_step(mesh, n_steps: int = 10):
         u_cur, du_cur, stats = solver.step(u_cur, u_cur, du_cur)
     u_cur.block_until_ready()
     dt_step = (time.perf_counter() - t0) / n_steps
-    log(f"transient step (121k, two_level agg=48): {dt_step * 1e3:8.1f} ms "
+    rk = solver.cfg.krylov
+    log(f"transient step (121k, {rk.preconditioner} agg={rk.coarse_agg} "
+        f"cheby={rk.coarse_cheby}): {dt_step * 1e3:8.1f} ms "
         f"newton={int(stats.iters)} lin={int(stats.lin_iters)}")
     return dt_step * 1e3, int(stats.iters), int(stats.lin_iters)
 

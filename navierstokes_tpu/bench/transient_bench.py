@@ -48,7 +48,11 @@ def run_one(matrix_id: int, steps: int, overrides: dict,
     from navierstokes_tpu.model import NavierStokesSolver
 
     # coarse_agg=None = the measured per-size auto schedule (config.
-    # auto_coarse_agg: 48/128/256) — the tuned step times with NO flags.
+    # auto_coarse_agg: 48/128/256).  The base pins preconditioner=
+    # "two_level" — the historical flagship — so the 'defaults' rows of
+    # benchlogs/transient_scaling.txt stay comparable across rounds; the
+    # PRODUCT default is preconditioner="auto" (run.default_f32_krylov),
+    # whose per-size winners are measured as overrides against this base.
     base = SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
                         neumann_order=0, preconditioner="two_level",
                         spmv="plane")

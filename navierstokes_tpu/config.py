@@ -29,7 +29,8 @@ class SolverConfig:
     atol: float = 1e-12
     maxiter: int = 2000
     preconditioner: str = "block_jacobi"  # "block_jacobi" | "two_level" |
-                                          # "schur" | "ilu0" | "none".
+                                          # "schur" | "ilu0" | "none" |
+                                          # "auto".
                                           # "schur" = SIMPLE-style block-
                                           # triangular pressure-Schur
                                           # preconditioner (solvers/
@@ -37,6 +38,10 @@ class SolverConfig:
                                           # approximate Schur two-grid.
                                           # Requires spmv='plane' +
                                           # jacobian='exact'; single-chip.
+                                          # "auto" = the measured per-size
+                                          # schedule (auto_preconditioner),
+                                          # resolved at solver construction
+                                          # — the run.py flagship default.
     # two_level (coarse_agg=48) is the measured f32 CLI default on TPU:
     # 101.6 ms/step at 121k DoF (53 GMRES iters) vs 134.3 ms / 226 iters
     # for block_jacobi — run.py sets it explicitly; this dataclass default
@@ -292,8 +297,33 @@ def auto_coarse_agg(ndof: int) -> int:
 AUTO_COARSE_DENSE_CAP = 16_384
 
 
-def resolve_coarse_defaults(cfg: NSConfig, nv: int) -> NSConfig:
-    """Resolve coarse_agg=None to the measured size schedule.
+def auto_preconditioner(ndof: int) -> dict:
+    """Measured preconditioner schedule (round-5 sweeps at matrices 6/8/9/10,
+    benchlogs/transient_scaling.txt): the coupled two_level cycle with a
+    degree-3 Chebyshev post-smoother wins at mmesh scale (9.4 vs 11.6
+    ms/step at 117k), and the pressure-Schur block preconditioner with a
+    degree-2 Chebyshev velocity smoother wins above it (56.1 vs 83.1 ms at
+    511k, 166 vs 266 ms at 1M, 507 vs 1174 ms at 2.35M — iteration growth
+    flattens from 69->253 to 42->90 over 117k->2.35M).  The tier boundary
+    reuses auto_coarse_agg's first tier; both tables are swept values, not
+    formulas — re-sweep before extending."""
+    if ndof <= 150_000:
+        return {"preconditioner": "two_level", "coarse_cheby": 3}
+    return {"preconditioner": "schur", "schur_v_cheby": 2}
+
+
+def resolve_coarse_defaults(cfg: NSConfig, nv: int,
+                            single_chip: bool = True) -> NSConfig:
+    """Resolve the "auto" preconditioner and coarse_agg=None to the measured
+    size schedules.
+
+    preconditioner="auto" picks the per-size winner (auto_preconditioner)
+    when the config can run it: the scheduled choices need eager operator
+    preparation (jacobian='exact'), the Schur tier additionally needs
+    spmv='plane', no deflation, and a single chip — anything else degrades
+    to the round-4 flagship (plain two_level), which every path supports.
+    Smoother knobs the user set explicitly (nonzero coarse_cheby /
+    schur_v_cheby) are never overridden.
 
     Also raises coarse_dense_max to fit the scheduled aggregation when the
     resulting coarse space is dense-invertible (<= AUTO_COARSE_DENSE_CAP):
@@ -302,7 +332,24 @@ def resolve_coarse_defaults(cfg: NSConfig, nv: int) -> NSConfig:
     never touched (the CLI/sweep override contract)."""
     import dataclasses as _dc
 
+    def fix_precond(sc: SolverConfig) -> SolverConfig:
+        if sc.preconditioner != "auto":
+            return sc
+        upd = dict(auto_preconditioner(4 * nv))
+        if cfg.jacobian != "exact":
+            upd = {"preconditioner": "two_level"}    # cheby/schur need eager prep
+        elif upd["preconditioner"] == "schur" and (
+                not single_chip or sc.spmv != "plane" or sc.deflation_k):
+            upd = {"preconditioner": "two_level"}
+        elif not single_chip:
+            upd = {"preconditioner": "two_level"}    # coarse_cheby: 1-chip only
+        for knob in ("coarse_cheby", "schur_v_cheby"):
+            if getattr(sc, knob) and knob in upd:
+                del upd[knob]                        # user pinned the degree
+        return _dc.replace(sc, **upd)
+
     def fix(sc: SolverConfig) -> SolverConfig:
+        sc = fix_precond(sc)
         if sc.coarse_agg is not None:
             return sc
         agg = auto_coarse_agg(4 * nv)

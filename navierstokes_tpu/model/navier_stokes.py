@@ -114,6 +114,11 @@ class NavierStokesSolver:
     """Flagship model: load mesh -> stokes init -> step -> dump, like the
     reference CLI, but as a library object with jitted compute."""
 
+    # preconditioner="auto" resolves to the measured single-chip winners
+    # (schur / coarse_cheby); the distributed subclass flips this so "auto"
+    # degrades to the universally-supported two_level there.
+    _auto_single_chip = True
+
     def __init__(self, mesh: Mesh, cfg: Optional[NSConfig] = None,
                  disc: Optional[Discretization] = None):
         from navierstokes_tpu.config import resolve_coarse_defaults
@@ -125,7 +130,9 @@ class NavierStokesSolver:
         # (which holds the pre-resolution config) accepts checkpoints its
         # own run() wrote (round-4 verdict weak #1).
         self.user_cfg = cfg or NSConfig()
-        self.cfg = resolve_coarse_defaults(self.user_cfg, mesh.nv)
+        self.cfg = resolve_coarse_defaults(
+            self.user_cfg, mesh.nv, single_chip=self._auto_single_chip
+        )
         if self.cfg.krylov.cgs2 not in ("xla", "pallas", "pallas_comp"):
             raise ValueError(
                 f"unknown cgs2 backend {self.cfg.krylov.cgs2!r}; "

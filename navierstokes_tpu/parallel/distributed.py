@@ -53,6 +53,10 @@ class DistributedNavierStokesSolver(NavierStokesSolver):
     # their own minv with exact-arity tuple unpacks — single-chip only
     # (model._maybe_append_cheby raises a clear error).
     _supports_cheby = False
+    # preconditioner="auto" resolves to plain two_level here (schur and
+    # coarse_cheby are single-chip; resolve_coarse_defaults degrades by
+    # design — an EXPLICIT schur still raises below).
+    _auto_single_chip = False
 
     def __init__(
         self,

@@ -25,11 +25,15 @@ def default_f32_krylov():
     """The flagship f32 Krylov defaults (single source of truth: run.py's
     f32 path AND the driver contract `__graft_entry__.dryrun_multichip`
     assert against this — VERDICT r3 item 8).  coarse_agg stays None = the
-    measured per-size auto schedule (config.auto_coarse_agg)."""
+    measured per-size auto schedule (config.auto_coarse_agg), and
+    preconditioner="auto" = the measured per-size preconditioner schedule
+    (config.auto_preconditioner: two_level+coarse_cheby=3 at mmesh scale,
+    pressure-Schur+velocity-Chebyshev above — the round-5 winners at every
+    size, benchlogs/transient_scaling.txt)."""
     from navierstokes_tpu.config import SolverConfig
 
     return SolverConfig(rtol=1e-5, atol=1e-6, maxiter=1000,
-                        neumann_order=0, preconditioner="two_level",
+                        neumann_order=0, preconditioner="auto",
                         spmv="plane")
 
 
@@ -67,8 +71,12 @@ def main(argv=None):
     p.add_argument("--spmv", choices=["auto", "xla", "pallas", "plane"], default=None,
                    help="SpMV kernel routing (default: auto)")
     p.add_argument("--preconditioner", default=None,
-                   choices=["block_jacobi", "two_level", "schur", "ilu0",
-                            "none"])
+                   choices=["auto", "block_jacobi", "two_level", "schur",
+                            "ilu0", "none"],
+                   help="auto (the f32 default) = the measured per-size "
+                        "schedule: two_level+coarse_cheby=3 at <=150k rows, "
+                        "schur+schur_v_cheby=2 above (single-chip; "
+                        "distributed degrades to two_level)")
     p.add_argument("--coarse-agg", type=int, default=None,
                    help="two_level: nodes per aggregate")
     p.add_argument("--coarse-ml-smooth", type=int, default=None,

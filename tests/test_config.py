@@ -109,3 +109,92 @@ def test_replace_keeps_auto():
     # dataclasses.replace with unrelated overrides must not lose the None
     sc = dataclasses.replace(SolverConfig(), restart=60)
     assert sc.coarse_agg is None
+
+
+# -- preconditioner="auto": the measured per-size schedule (round 5) ---------
+
+
+@pytest.mark.parametrize(
+    "ndof,precond,knob,deg",
+    [
+        (4 * 3, "two_level", "coarse_cheby", 3),        # tiny CPU meshes
+        (117_500, "two_level", "coarse_cheby", 3),      # matrix 6
+        (150_000, "two_level", "coarse_cheby", 3),
+        (150_004, "schur", "schur_v_cheby", 2),
+        (511_024, "schur", "schur_v_cheby", 2),         # matrix 8
+        (2_348_992, "schur", "schur_v_cheby", 2),       # matrix 10
+    ],
+)
+def test_auto_preconditioner_schedule(ndof, precond, knob, deg):
+    from navierstokes_tpu.config import auto_preconditioner
+
+    upd = auto_preconditioner(ndof)
+    assert upd["preconditioner"] == precond
+    assert upd[knob] == deg
+
+
+def _auto_cfg(**krylov_kw):
+    kw = {"spmv": "plane", **krylov_kw}
+    kr = SolverConfig(preconditioner="auto", **kw)
+    return NSConfig(krylov=kr, stokes_krylov=kr)
+
+
+def test_resolve_auto_small_and_large():
+    r = resolve_coarse_defaults(_auto_cfg(), 117_500 // 4)
+    assert r.krylov.preconditioner == "two_level"
+    assert r.krylov.coarse_cheby == 3
+    r = resolve_coarse_defaults(_auto_cfg(), 511_024 // 4)
+    assert r.krylov.preconditioner == "schur"
+    assert r.krylov.schur_v_cheby == 2
+    assert r.stokes_krylov.preconditioner == "schur"
+
+
+def test_resolve_auto_degrades_off_the_eager_path():
+    # The scheduled winners need jacobian='exact'; anything else gets the
+    # round-4 flagship (plain two_level), never an invalid combination.
+    cfg = dataclasses.replace(_auto_cfg(), jacobian="reference")
+    r = resolve_coarse_defaults(cfg, 511_024 // 4)
+    assert r.krylov.preconditioner == "two_level"
+    assert r.krylov.coarse_cheby == 0
+    # Schur tier additionally needs spmv='plane' / no deflation / 1 chip.
+    for bad in (dict(spmv="pallas"), dict(deflation_k=8)):
+        r = resolve_coarse_defaults(_auto_cfg(**bad), 511_024 // 4)
+        assert r.krylov.preconditioner == "two_level", bad
+    r = resolve_coarse_defaults(_auto_cfg(), 511_024 // 4, single_chip=False)
+    assert r.krylov.preconditioner == "two_level"
+    assert r.krylov.coarse_cheby == 0
+    r = resolve_coarse_defaults(_auto_cfg(), 117_500 // 4, single_chip=False)
+    assert r.krylov.preconditioner == "two_level"
+    assert r.krylov.coarse_cheby == 0
+
+
+def test_resolve_auto_respects_pinned_degrees():
+    r = resolve_coarse_defaults(_auto_cfg(coarse_cheby=5), 117_500 // 4)
+    assert r.krylov.coarse_cheby == 5
+    r = resolve_coarse_defaults(_auto_cfg(schur_v_cheby=4), 511_024 // 4)
+    assert r.krylov.schur_v_cheby == 4
+
+
+def test_solver_resolves_auto_preconditioner():
+    """End to end: a tiny mesh with the run.py flagship defaults builds a
+    two_level+cheby solver single-chip and a plain two_level distributed."""
+    import jax
+
+    from navierstokes_tpu.mesh.box import channel_mesh
+    from navierstokes_tpu.model import NavierStokesSolver
+    from navierstokes_tpu.parallel import DistributedNavierStokesSolver
+    from navierstokes_tpu.run import default_f32_krylov
+
+    kr = dataclasses.replace(default_f32_krylov(), coarse_agg=4)
+    assert kr.preconditioner == "auto"
+    cfg = NSConfig(dt=0.01, krylov=kr, stokes_krylov=kr, dtype="float64")
+    mesh = channel_mesh(6, 2, 2)
+    s = NavierStokesSolver(mesh, cfg)
+    assert s.cfg.krylov.preconditioner == "two_level"
+    assert s.cfg.krylov.coarse_cheby == 3
+    assert s.user_cfg.krylov.preconditioner == "auto"   # checkpoint contract
+    d, _ = DistributedNavierStokesSolver.from_mesh(
+        mesh, cfg, devices=jax.devices()[:2]
+    )
+    assert d.cfg.krylov.preconditioner == "two_level"
+    assert d.cfg.krylov.coarse_cheby == 0
